@@ -1,0 +1,119 @@
+"""Bench harness (driver contract): index-build throughput + BM25 query
+latency on the deterministic synthetic source-code corpus sized to the
+scale factor of $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1 →
+50,000 files, FIXTURES.md §1), on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total wall sec>, "unit": "sec",
+   "queries": {"index_build": sec, "q_hot": sec, ...},
+   "sf": <sf>, "files_per_sec": N, "n_docs": N, "cores": N}
+
+Scaling-efficiency evidence (north_rule N→4N executors, sandboxed as
+local[8] → local[32]): run tools/bench_scaling.py, which invokes this
+file at both parallelism levels and writes BENCH/BASELINE.md.
+
+shuffle.partitions is held CONSTANT (64) across parallelism levels so
+the scaling run varies cores only, not the physical plan.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from search_engine_spark import constants as C  # noqa: E402
+from search_engine_spark.corpus import generate_corpus, with_doc_id  # noqa: E402
+from search_engine_spark.index import (  # noqa: E402
+    build_block_index,
+    build_index_frames,
+    corpus_stats,
+)
+from search_engine_spark.query import bm25_topk_blocks  # noqa: E402
+from search_engine_spark.session import build_session  # noqa: E402
+
+N_DOCS_BY_SF = {"0.001": 500, "0.01": 5000, "0.1": 50000}
+
+BENCH_QUERIES = {
+    "q_hot_term": "import",
+    "q_conjunction": "def import return",
+    "q_mixed": "public static void function",
+    "q_stopwords": "the of and",
+    "q_rare_pair": "fn mut",
+}
+
+
+def sf_of(sf_dir: str) -> str:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    return base.replace("sf", "") if base.startswith("sf") else "0.1"
+
+
+def ensure_corpus(spark, sf: str, n_docs: int, data_dir: str) -> str:
+    path = os.path.join(data_dir, f"corpus_sf{sf}.parquet")
+    if not os.path.exists(path):
+        generate_corpus(spark, n_docs).write.mode("overwrite").parquet(path)
+    return path
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_of(sf_dir)
+    n_docs = N_DOCS_BY_SF.get(sf, 50000)
+    repo = os.path.dirname(os.path.abspath(__file__))
+    data_dir = os.path.join(repo, ".data")
+    os.makedirs(data_dir, exist_ok=True)
+
+    spark = build_session(cores, f"bench_sf{sf}", shuffle_partitions=64)
+    corpus_path = ensure_corpus(spark, sf, n_docs, data_dir)
+
+    timings: dict[str, float] = {}
+
+    # --- index build: corpus parquet → compressed block index parquet ---
+    index_path = os.path.join(data_dir, f"bench_index_sf{sf}")
+    shutil.rmtree(index_path, ignore_errors=True)
+    t0 = time.perf_counter()
+    corpus = with_doc_id(spark.read.parquet(corpus_path))
+    tokens, postings, dstats, tstats = build_index_frames(corpus)
+    dstats = dstats.cache()
+    N, avgdl = corpus_stats(dstats)
+    index_df = build_block_index(postings, dstats, avgdl)
+    index_df.write.mode("overwrite").parquet(os.path.join(index_path, "blocks"))
+    tstats.write.mode("overwrite").parquet(os.path.join(index_path, "tstats"))
+    dstats.write.mode("overwrite").parquet(os.path.join(index_path, "dstats"))
+    timings["index_build"] = time.perf_counter() - t0
+    files_per_sec = n_docs / timings["index_build"]
+
+    # --- query latency over the written index ---
+    blocks = spark.read.parquet(os.path.join(index_path, "blocks"))
+    tstats_r = spark.read.parquet(os.path.join(index_path, "tstats")).cache()
+    tstats_r.count()
+    for name, q in BENCH_QUERIES.items():
+        t0 = time.perf_counter()
+        bm25_topk_blocks(blocks, tstats_r, N, avgdl, q, k=C.TOP_K).collect()
+        timings[name] = time.perf_counter() - t0
+
+    total = sum(timings.values())
+    print(
+        json.dumps(
+            {
+                "metric": "index_build+bm25_queries_wall",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": {k: round(v, 3) for k, v in timings.items()},
+                "sf": float(sf),
+                "n_docs": n_docs,
+                "cores": cores,
+                "files_per_sec": round(files_per_sec, 1),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,11 @@
+"""search_engine_spark — a PySpark-native inverted-index + BM25 engine.
+
+A from-scratch, Spark-idiomatic rebuild of the capabilities of the
+reference system (jcpoir/Search-Engine, a Java KVS + Flame-RDD web search
+engine at /root/reference): tokenize → posting lists → compressed block
+index → BM25 top-k, plus PageRank and a suite of large-scale
+training-data operators (dedup, similarity search, text quality).
+See SURVEY.md for the reference analysis and design mapping.
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,126 @@
+"""Deterministic synthetic source-code corpus (FIXTURES.md §1).
+
+Generates the input table mandated by BASELINE.json input_hint —
+``(repo: string, path: string, commit: string, lang: string,
+content: string)`` — with a Zipf(1.2) term distribution over a 5k-term
+vocabulary plus per-language hot keywords, so the hot-term-skew path of
+the index build is exercised. Seeded (seed=42); same (seed, n_docs) →
+byte-identical corpus, which the checkpoint-resume and rank-identity
+tests rely on.
+
+Generation is numpy-vectorized and partition-parallel: each Spark task
+generates its own slice from a per-partition RNG stream, so corpus
+creation itself scales out (no driver-side materialization).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import constants as C
+
+_EXT = {"python": "py", "java": "java", "js": "js", "go": "go", "rust": "rs", "md": "md"}
+
+
+def _vocab(size: int = C.VOCAB_SIZE) -> list[str]:
+    """Deterministic pseudo-word vocabulary: term{i} spelled from a seeded
+    alphabet mix so stems differ (suffix variety exercises the stemmer)."""
+    rng = np.random.default_rng(C.SEED)
+    base = ["".join(rng.choice(list("abcdefghijklmnopqrstuvwxyz"), size=int(rng.integers(3, 11)))) for _ in range(size)]
+    suffixes = ["", "", "", "s", "ed", "ing", "ation", "er", "ness", "ize"]
+    return [w + suffixes[i % len(suffixes)] for i, w in enumerate(base)]
+
+
+def generate_corpus_pdf(n_docs: int, seed: int = C.SEED, start: int = 0) -> pd.DataFrame:
+    """Generate docs [start, start+n_docs) as a pandas DataFrame.
+
+    ``start`` lets distributed partitions generate disjoint slices while
+    remaining globally deterministic (doc i's content depends only on
+    (seed, i), never on partition boundaries).
+    """
+    vocab = np.array(_vocab())
+    # Zipf-ranked sampling probabilities over the vocabulary.
+    ranks = np.arange(1, len(vocab) + 1, dtype=np.float64)
+    probs = ranks ** (-C.ZIPF_S)
+    probs /= probs.sum()
+
+    rows = []
+    langs = C.CORPUS_LANGS
+    for i in range(start, start + n_docs):
+        rng = np.random.default_rng((seed, i))
+        lang = langs[int(rng.integers(0, len(langs)))]
+        n_words = int(rng.integers(5, 400))
+        words = list(vocab[rng.choice(len(vocab), size=n_words, p=probs)])
+        # Inject hot per-language keywords (~15% of tokens) for skew.
+        hot = C.LANG_HOT_TERMS[lang]
+        n_hot = max(1, n_words // 7)
+        pos = rng.integers(0, n_words, size=n_hot)
+        for p in pos:
+            words[int(p)] = hot[int(rng.integers(0, len(hot)))]
+        content = " ".join(words)[: C.MAX_PAGE_LEN]
+        commit = hashlib.sha1(f"{seed}:{i}".encode()).hexdigest()
+        rows.append(
+            (
+                f"org{i % 7}/repo{i % 41}",
+                f"src/mod{i % 13}/file{i}.{_EXT[lang]}",
+                commit,
+                lang,
+                content,
+            )
+        )
+    return pd.DataFrame(rows, columns=["repo", "path", "commit", "lang", "content"])
+
+
+CORPUS_SCHEMA = "repo string, path string, commit string, lang string, content string"
+
+
+def generate_corpus(spark: SparkSession, n_docs: int, seed: int = C.SEED, partitions: int | None = None) -> DataFrame:
+    """Distributed corpus generation: each partition generates its slice."""
+    if partitions is None:
+        partitions = max(1, min(32, n_docs // 250))
+    bounds = np.linspace(0, n_docs, partitions + 1, dtype=int)
+    slices = [(int(bounds[i]), int(bounds[i + 1])) for i in range(partitions)]
+    sl = spark.createDataFrame(slices, "start long, stop long").repartition(partitions, "start")
+
+    def gen(iterator):
+        for pdf in iterator:
+            for _, r in pdf.iterrows():
+                yield generate_corpus_pdf(int(r.stop - r.start), seed=seed, start=int(r.start))
+
+    return sl.mapInPandas(gen, schema=CORPUS_SCHEMA)
+
+
+def with_doc_id(df: DataFrame) -> DataFrame:
+    """Attach the derived columns every downstream stage keys on:
+    doc_id = xxhash64(repo, path, commit) and the per-row invariant
+    content_sha = sha2(content, 256) (BASELINE.json input_hint)."""
+    return df.withColumn("doc_id", F.xxhash64("repo", "path", "commit")).withColumn(
+        "content_sha", F.sha2("content", 256)
+    )
+
+
+def reference_queries() -> list[tuple[int, str]]:
+    """The reference query set (FIXTURES.md §2): hot single terms, rare
+    terms, conjunctions, an absent term, an all-stopword query
+    (Search.java:209-213 semantics), stemmed-variant pairs."""
+    vocab = _vocab()
+    rare = vocab[-3]
+    mid = vocab[len(vocab) // 2]
+    qs = [
+        "def", "import", "public", "func", "the",
+        rare, mid,
+        f"def {mid}", f"import {rare}", "public static void",
+        "zzzzmissingterm",
+        "the of and",  # all stopwords
+        vocab[4], vocab[4] + "s" if not vocab[4].endswith("s") else vocab[4],
+        f"{vocab[10]} {vocab[11]} {vocab[12]} {vocab[13]}",
+        "fn let mut", "return", vocab[100], vocab[200], f"{vocab[50]} class",
+        "err nil", "code example", vocab[999], f"{vocab[1500]} {vocab[2500]}",
+        "usage",
+    ]
+    return [(i + 1, q) for i, q in enumerate(qs)]

@@ -1,0 +1,73 @@
+"""Pure-Python/numpy single-node reference ranker (SURVEY.md §5).
+
+Tokenize → postings → BM25 → top-k, sharing constants.py, the stemmer,
+normalize_query and bm25_idf with the Spark engine, with the SAME
+canonical float64 expression and the SAME term-ascending accumulation
+order — the Spark top-k must equal this oracle's output bit-for-bit
+(docIDs, ranks, scores). This plays the role of the reference repo's
+golden-table diff (/root/reference/src/cis5550/jobs/Crawler.java:1177-1220)
+at the ranking level.
+"""
+
+from __future__ import annotations
+
+import re
+from collections import Counter, defaultdict
+
+from . import constants as C
+from .query import bm25_idf, normalize_query
+from .stemmer import porter_stem
+
+_SPLIT = re.compile(C.TOKEN_SPLIT_RE)
+
+
+def tokenize_doc(content: str) -> list[str]:
+    """Reference tokenizer semantics (Indexer.java:129-169 adapted):
+    truncate, lowercase, split on non-alnum, length/skip filters.
+    Returns the surviving raw token stream (positions are 1-based list
+    indices)."""
+    toks = [t for t in _SPLIT.split(content[: C.MAX_PAGE_LEN].lower()) if t]
+    return [t for t in toks if len(t) <= C.MAX_WORD_LEN and t not in C.SKIP_WORDS]
+
+
+class OracleIndex:
+    """In-memory inverted index over (doc_id, content) pairs."""
+
+    def __init__(self, docs: list[tuple[int, str]]):
+        self.postings: dict[str, dict[int, int]] = defaultdict(dict)  # term -> doc -> tf
+        self.doclen: dict[int, int] = {}
+        stem_cache: dict[str, str] = {}
+        for doc_id, content in docs:
+            toks = tokenize_doc(content)
+            self.doclen[doc_id] = len(toks)
+            counts: Counter[str] = Counter(toks)
+            # stemmed channel: stems that differ from the raw token are
+            # posted too (Indexer.java:256,263-283)
+            for t, tf in list(counts.items()):
+                st = stem_cache.get(t)
+                if st is None:
+                    st = stem_cache[t] = porter_stem(t)
+                if st != t:
+                    counts[st] += tf
+            for t, tf in counts.items():
+                self.postings[t][doc_id] = tf
+        self.N = len(self.doclen)
+        self.avgdl = (sum(self.doclen.values()) / self.N) if self.N else 0.0
+
+    def query(self, query: str, k: int = C.TOP_K) -> list[tuple[int, float]]:
+        """→ [(doc_id, score)] sorted (score DESC, doc_id ASC), length ≤ k."""
+        terms, weight = normalize_query(query)
+        k1, b = C.BM25_K1, C.BM25_B
+        scores: dict[int, float] = defaultdict(float)
+        for t in terms:  # normalize_query returns sorted terms → fixed order
+            plist = self.postings.get(t)
+            if not plist:
+                continue
+            idf = bm25_idf(self.N, len(plist))
+            for doc_id, tf in plist.items():
+                dl = self.doclen[doc_id]
+                # CANONICAL BM25 float64 expression (see query.py)
+                w = idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / self.avgdl)) * weight
+                scores[doc_id] = scores[doc_id] + w
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        return ranked[:k]

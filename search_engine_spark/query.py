@@ -1,0 +1,239 @@
+"""Query-side BM25 top-k.
+
+Two physical paths, identical results:
+
+1. ``bm25_topk_df`` — pure DataFrame over the uncompressed postings
+   (oracle-parity path, DuckDB-checkable).
+2. ``bm25_topk_blocks`` — over the compressed block index: per-shard
+   block-max pruning + exact rescore inside one ``applyInPandas``
+   (Arrow), then a global TakeOrderedAndProject. This is the scale path:
+   each shard task touches only the query terms' blocks for its document
+   subset, skips blocks that provably cannot reach the top-k, and emits
+   at most k rows.
+
+Rank identity (BASELINE.json north_star): scores are float64 with a FIXED
+accumulation order — per doc, term contributions are summed in ascending
+term order (a left fold over a term-sorted list) in both paths AND in the
+pure-Python oracle, so scores are bit-identical; ties break
+(score DESC, doc_id ASC).
+
+Reference semantics carried over: query normalize = lowercase/split/stem
+(/root/reference/src/cis5550/jobs/Search.java:59-74); stopword handling —
+drop stopwords unless ALL query tokens are stopwords, in which case keep
+them weighted by STOPWORD_PENALTY=0.05 (Search.java:209-213,24); k=200
+(Search.java:25). BM25 replaces the reference's tf-idf blend per the
+north_star; k1/b live in constants.py, consumed by engine and oracle.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from . import constants as C
+from .codec import decode_doc_ids, varbyte_decode
+from .stemmer import porter_stem
+
+_SPLIT = re.compile(C.TOKEN_SPLIT_RE)
+
+
+def normalize_query(query: str) -> tuple[list[str], float]:
+    """→ (sorted unique stemmed terms, weight). Weight is 1.0, or
+    STOPWORD_PENALTY when the query is entirely stopwords."""
+    toks = [t for t in _SPLIT.split(query.lower()) if t]
+    toks = [t for t in toks if len(t) <= C.MAX_WORD_LEN and t not in C.SKIP_WORDS]
+    if not toks:
+        return [], 1.0
+    non_stop = [t for t in toks if t not in C.STOPWORDS]
+    if non_stop:
+        kept, weight = non_stop, 1.0
+    else:
+        kept, weight = toks, C.STOPWORD_PENALTY
+    return sorted({porter_stem(t) for t in kept}), weight
+
+
+def bm25_idf(N: int, df: int) -> float:
+    """Robertson/Lucene positive idf: ln(1 + (N - df + .5)/(df + .5))."""
+    return math.log(1.0 + (N - df + 0.5) / (df + 0.5))
+
+
+def _fold_sum_by_term(scored: DataFrame) -> DataFrame:
+    """(doc_id, term, w) → (doc_id, score) with deterministic
+    term-ascending float64 accumulation."""
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.collect_list(F.struct("term", "w")).alias("tw"))
+        .select(
+            "doc_id",
+            F.aggregate(
+                F.sort_array("tw"), F.lit(0.0), lambda acc, x: acc + x["w"]
+            ).alias("score"),
+        )
+    )
+
+
+def bm25_topk_df(
+    postings: DataFrame,
+    dstats: DataFrame,
+    tstats: DataFrame,
+    N: int,
+    avgdl: float,
+    query: str,
+    k: int = C.TOP_K,
+) -> DataFrame:
+    """DataFrame path. postings=(doc_id,term,tf,...), dstats=(doc_id,doclen),
+    tstats=(term,df). Returns (doc_id, score) top-k."""
+    terms, weight = normalize_query(query)
+    return bm25_score_terms(postings, dstats, tstats, N, avgdl, terms, weight, k)
+
+
+def bm25_score_terms(
+    postings: DataFrame,
+    dstats: DataFrame,
+    tstats: DataFrame,
+    N: int,
+    avgdl: float,
+    terms: list[str],
+    weight: float = 1.0,
+    k: int = C.TOP_K,
+) -> DataFrame:
+    """BM25 over already-normalized terms (no stemming/stopword logic) —
+    the primitive bm25_topk_df wraps, also used directly by the DuckDB
+    oracle-parity entries where the SQL side cannot stem."""
+    spark = postings.sparkSession
+    if not terms:
+        return spark.createDataFrame([], "doc_id long, score double")
+    q = postings.select("doc_id", "term", "tf").where(F.col("term").isin(terms))
+    # idf computed driver-side with math.log so ALL paths (DataFrame,
+    # block, pure-Python oracle) share bit-identical idf values — JVM
+    # F.log could differ from libm by 1 ulp and break rank identity.
+    dfs = {r["term"]: int(r["df"]) for r in tstats.where(F.col("term").isin(terms)).collect()}
+    idf_rows = [(t, bm25_idf(N, dfs[t])) for t in terms if t in dfs]
+    if not idf_rows:
+        return spark.createDataFrame([], "doc_id long, score double")
+    tdf = spark.createDataFrame(idf_rows, "term string, idf double")
+    k1, b = C.BM25_K1, C.BM25_B
+    scored = (
+        q.join(dstats, "doc_id")
+        .join(F.broadcast(tdf), "term")
+        .select(
+            "doc_id",
+            "term",
+            (
+                F.col("idf")
+                * (F.col("tf") * (k1 + 1.0))
+                / (F.col("tf") + k1 * (1.0 - b + b * F.col("doclen") / F.lit(avgdl)))
+                * F.lit(weight)
+            ).alias("w"),
+        )
+    )
+    return (
+        _fold_sum_by_term(scored)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def _score_shard_factory(idf_by_term: dict[str, float], weight: float, k: int, avgdl: float):
+    """Returns the per-shard scorer for applyInPandas. Block-max pruning:
+    (1) decode doc-id streams only; per-doc upper bound = Σ_t idf_t ·
+    max_wtf(block containing doc); (2) exact-score the top-k docs by upper
+    bound → threshold s_k; (3) survivors = docs with ub ≥ s_k; exact-score
+    survivors only (tf/dl streams decoded only for blocks that still
+    matter). Exactness: a pruned doc has true score ≤ ub < s_k ≤ kth best.
+    """
+    k1, b = C.BM25_K1, C.BM25_B
+
+    def score_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        terms = sorted(idf_by_term)
+        per_term: dict[str, list] = {}
+        doc_arrays, ub_arrays = [], []
+        for t in terms:
+            blocks = pdf[pdf["term"] == t].sort_values("block_id")
+            if blocks.empty:
+                continue
+            decoded = []
+            for _, r in blocks.iterrows():
+                dids = decode_doc_ids(r["doc_bytes"])
+                decoded.append((dids, r["tf_bytes"], r["dl_bytes"], float(r["max_wtf"])))
+                doc_arrays.append(dids)
+                ub_arrays.append(
+                    np.full(dids.size, idf_by_term[t] * float(r["max_wtf"]) * weight)
+                )
+            per_term[t] = decoded
+        if not doc_arrays:
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"), "score": pd.Series(dtype="float64")})
+        all_docs = np.concatenate(doc_arrays)
+        all_ubs = np.concatenate(ub_arrays)
+        uniq, inv = np.unique(all_docs, return_inverse=True)
+        ub = np.zeros(uniq.size)
+        np.add.at(ub, inv, all_ubs)
+
+        def exact_scores(doc_set: np.ndarray) -> np.ndarray:
+            """float64 scores for doc_set (sorted), term-ascending fold."""
+            s = np.zeros(doc_set.size)
+            for t in terms:
+                if t not in per_term:
+                    continue
+                idf = idf_by_term[t]
+                for dids, tf_b, dl_b, _mw in per_term[t]:
+                    sel = np.searchsorted(doc_set, dids)
+                    sel_ok = (sel < doc_set.size) & (doc_set[np.minimum(sel, doc_set.size - 1)] == dids)
+                    if not sel_ok.any():
+                        continue
+                    tfs = varbyte_decode(tf_b).astype(np.float64)
+                    dls = varbyte_decode(dl_b).astype(np.float64)
+                    # CANONICAL BM25 float64 expression — must match
+                    # bm25_topk_df and oracle.py token-for-token for
+                    # bit-exact rank identity:
+                    w = idf * (tfs * (k1 + 1.0)) / (tfs + k1 * (1.0 - b + b * dls / avgdl)) * weight
+                    s[sel[sel_ok]] += w[sel_ok]
+            return s
+
+        if uniq.size <= k:
+            cand = uniq
+            cand_scores = exact_scores(cand)
+        else:
+            top_by_ub = uniq[np.argsort(-ub, kind="mergesort")[:k]]
+            top_by_ub.sort()
+            seed_scores = exact_scores(top_by_ub)
+            s_k = np.sort(seed_scores)[-k] if seed_scores.size >= k else -np.inf
+            survivors = uniq[ub >= s_k]
+            cand = np.union1d(survivors, top_by_ub)
+            cand_scores = exact_scores(cand)
+        order = np.lexsort((cand, -cand_scores))[:k]
+        return pd.DataFrame({"doc_id": cand[order], "score": cand_scores[order]})
+
+    return score_shard
+
+
+def bm25_topk_blocks(
+    index_df: DataFrame,
+    tstats: DataFrame,
+    N: int,
+    avgdl: float,
+    query: str,
+    k: int = C.TOP_K,
+) -> DataFrame:
+    terms, weight = normalize_query(query)
+    spark = index_df.sparkSession
+    if not terms:
+        return spark.createDataFrame([], "doc_id long, score double")
+    dfs = {
+        r["term"]: int(r["df"])
+        for r in tstats.where(F.col("term").isin(terms)).collect()
+    }
+    idf_by_term = {t: bm25_idf(N, dfs[t]) for t in terms if t in dfs}
+    if not idf_by_term:
+        return spark.createDataFrame([], "doc_id long, score double")
+    idx = index_df.where(F.col("term").isin(list(idf_by_term)))
+    shard_topk = idx.groupBy("shard").applyInPandas(
+        _score_shard_factory(idf_by_term, weight, k, float(avgdl)),
+        schema="doc_id long, score double",
+    )
+    return shard_topk.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

@@ -1,0 +1,77 @@
+"""Tokenizer: content → (doc_id, term, pos) with the reference's
+semantics adapted to code text (split_page_locs,
+/root/reference/src/cis5550/jobs/Indexer.java:129-169):
+
+- truncate content to MAX_PAGE_LEN chars, lowercase
+- split on runs of non-alphanumerics ([^a-z0-9]+), drop empty tokens
+- positions are 1-based over the surviving token stream
+- drop tokens longer than MAX_WORD_LEN (Indexer.java:33)
+- drop tokens in the skip set (Indexer.java:36-38)
+
+Everything is native pyspark.sql.functions (whole-stage codegen; zero
+Python in the per-token path). Stemming — the one step Spark lacks — runs
+as an Arrow-vectorized pandas_udf over the *distinct vocabulary only*
+(|vocab| ≪ |token occurrences|), then fans back out via a broadcast-able
+join: at 100 TB this is the difference between stemming ~10^7 distinct
+terms and ~10^13 occurrences.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from . import constants as C
+from .stemmer import porter_stem
+
+
+def _token_array(content_col):
+    norm = F.lower(F.substring(content_col, 1, C.MAX_PAGE_LEN))
+    toks = F.split(norm, C.TOKEN_SPLIT_RE)
+    return F.filter(toks, lambda t: t != F.lit(""))
+
+
+def tokenize(corpus: DataFrame, content_col: str = "content", id_col: str = "doc_id") -> DataFrame:
+    """corpus[id_col, content_col, ...] → (doc_id, term, pos) one row per
+    surviving token occurrence. Narrow (no shuffle): scan → project →
+    generate, all inside one codegen stage."""
+    toks = _token_array(F.col(content_col))
+    out = (
+        corpus.select(F.col(id_col).alias("doc_id"), F.posexplode(toks).alias("pos0", "term"))
+        .where(
+            (F.length("term") <= C.MAX_WORD_LEN)
+            & ~F.col("term").isin(*sorted(C.SKIP_WORDS))
+        )
+        .select("doc_id", "term", (F.col("pos0") + 1).cast("int").alias("pos"))
+    )
+    return out
+
+
+@F.pandas_udf(T.StringType())
+def _stem_udf(terms: pd.Series) -> pd.Series:
+    return terms.map(porter_stem)
+
+
+def stem_vocab(tokens: DataFrame) -> DataFrame:
+    """(term) → (term, stem) over the DISTINCT vocabulary only."""
+    return tokens.select("term").distinct().withColumn("stem", _stem_udf("term"))
+
+
+def tokenize_with_stems(corpus: DataFrame, content_col: str = "content", id_col: str = "doc_id") -> DataFrame:
+    """Reference parity: every token is indexed both raw and stemmed when
+    the stem differs (Indexer.java:256,263-283 posts both forms).
+
+    Returns (doc_id, term, pos) where stemmed variants appear as extra
+    rows at the same position. The stem map is joined back broadcast —
+    vocabulary is small relative to occurrences by Zipf's law.
+    """
+    tokens = tokenize(corpus, content_col, id_col)
+    vocab = stem_vocab(tokens)
+    stemmed = (
+        tokens.join(F.broadcast(vocab), "term")
+        .where(F.col("stem") != F.col("term"))
+        .select("doc_id", F.col("stem").alias("term"), "pos")
+    )
+    return tokens.unionByName(stemmed)

@@ -1,0 +1,21 @@
+from __future__ import annotations
+
+import pytest
+
+from search_engine_spark.corpus import generate_corpus, with_doc_id
+from search_engine_spark.session import build_session
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = build_session(4, "tests", shuffle_partitions=8)
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="session")
+def corpus(spark):
+    """200-doc deterministic synthetic source-code corpus, cached."""
+    df = with_doc_id(generate_corpus(spark, 200)).cache()
+    df.count()
+    return df

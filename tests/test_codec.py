@@ -1,0 +1,62 @@
+"""Varbyte/delta codec property tests (FIXTURES.md §4)."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from search_engine_spark.codec import (
+    decode_doc_ids,
+    decode_positions,
+    encode_doc_ids,
+    encode_positions,
+    varbyte_decode,
+    varbyte_encode,
+)
+
+BOUNDARIES = [0, 1, 127, 128, 16383, 16384, 2**21 - 1, 2**21, 2**28 - 1, 2**28, 2**63 - 1, 2**64 - 1]
+
+
+def test_varbyte_boundaries():
+    a = np.array(BOUNDARIES, dtype=np.uint64)
+    assert np.array_equal(varbyte_decode(varbyte_encode(a)), a)
+
+
+def test_empty():
+    assert varbyte_encode(np.empty(0, dtype=np.uint64)) == b""
+    assert varbyte_decode(b"").size == 0
+    assert decode_doc_ids(encode_doc_ids(np.empty(0, dtype=np.int64))).size == 0
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**64 - 1), max_size=500))
+@settings(max_examples=200, deadline=None)
+def test_varbyte_roundtrip(xs):
+    a = np.array(xs, dtype=np.uint64)
+    assert np.array_equal(varbyte_decode(varbyte_encode(a)), a)
+
+
+@given(st.sets(st.integers(min_value=-(2**62), max_value=2**62 - 1), max_size=300))
+@settings(max_examples=200, deadline=None)
+def test_doc_id_roundtrip(ids):
+    a = np.array(sorted(ids), dtype=np.int64)
+    assert np.array_equal(decode_doc_ids(encode_doc_ids(a)), a)
+
+
+@given(
+    st.lists(
+        st.lists(st.integers(min_value=1, max_value=10000), min_size=1, max_size=30, unique=True),
+        max_size=40,
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_positions_roundtrip(plists):
+    plists = [sorted(p) for p in plists]
+    lens = np.array([len(p) for p in plists], dtype=np.uint64)
+    cat = (
+        np.array([x for p in plists for x in p], dtype=np.uint64)
+        if plists
+        else np.empty(0, dtype=np.uint64)
+    )
+    pb, lb = encode_positions(cat, lens)
+    dp, dl = decode_positions(pb, lb)
+    assert np.array_equal(dl, lens)
+    assert np.array_equal(dp, cat)

@@ -1,0 +1,55 @@
+"""Rank-identity gate (BASELINE.json north_star): the Spark engine's
+top-k (docIDs, ranks, float64 scores) must be BIT-IDENTICAL to the
+pure-Python oracle ranker on the reference query set, on both physical
+paths (uncompressed DataFrame and compressed block index with block-max
+pruning). k=200 per Search.java:25; tie-break (score DESC, doc_id ASC)."""
+
+import pytest
+
+from search_engine_spark import constants as C
+from search_engine_spark.corpus import reference_queries
+from search_engine_spark.index import build_block_index, build_index_frames, corpus_stats
+from search_engine_spark.oracle import OracleIndex
+from search_engine_spark.query import bm25_topk_blocks, bm25_topk_df
+
+
+@pytest.fixture(scope="module")
+def engine(spark, corpus):
+    tokens, postings, dstats, tstats = build_index_frames(corpus)
+    postings = postings.cache()
+    dstats = dstats.cache()
+    tstats = tstats.cache()
+    N, avgdl = corpus_stats(dstats)
+    index_df = build_block_index(postings, dstats, avgdl).cache()
+    index_df.count()
+    docs = [(r["doc_id"], r["content"]) for r in corpus.select("doc_id", "content").collect()]
+    oi = OracleIndex(docs)
+    assert oi.N == N and abs(oi.avgdl - avgdl) < 1e-12
+    return postings, dstats, tstats, index_df, N, avgdl, oi
+
+
+@pytest.mark.parametrize("qid,query", reference_queries())
+def test_rank_identity(engine, qid, query):
+    postings, dstats, tstats, index_df, N, avgdl, oi = engine
+    expected = oi.query(query, k=C.TOP_K)
+    got_df = [
+        (r["doc_id"], r["score"])
+        for r in bm25_topk_df(postings, dstats, tstats, N, avgdl, query, k=C.TOP_K).collect()
+    ]
+    got_blk = [
+        (r["doc_id"], r["score"])
+        for r in bm25_topk_blocks(index_df, tstats, N, avgdl, query, k=C.TOP_K).collect()
+    ]
+    assert got_df == expected, f"DataFrame path diverges for {query!r}"
+    assert got_blk == expected, f"Block path diverges for {query!r}"
+
+
+def test_sha256_invariant(spark, corpus):
+    """Per-row invariant (BASELINE.json input_hint): sha256(content) is
+    preserved end-to-end vs the source table."""
+    import pyspark.sql.functions as F
+
+    recomputed = corpus.select("doc_id", F.sha2("content", 256).alias("sha2"))
+    joined = corpus.select("doc_id", "content_sha").join(recomputed, "doc_id")
+    bad = joined.where(F.col("content_sha") != F.col("sha2")).count()
+    assert bad == 0

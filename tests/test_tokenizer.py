@@ -1,0 +1,71 @@
+"""Tokenizer golden cases (FIXTURES.md §3), mirroring the reference's
+split_page_locs semantics (/root/reference/src/cis5550/jobs/Indexer.java:129-169)
+adapted to code text: lowercase, split [^a-z0-9]+, 1-based positions over
+the surviving stream, MAX_WORD_LEN=20 drop, skip set (Indexer.java:33,36-38)."""
+
+from search_engine_spark import constants as C
+from search_engine_spark.oracle import tokenize_doc
+from search_engine_spark.tokenize import tokenize
+
+
+def spark_tokens(spark, content: str):
+    df = spark.createDataFrame([(1, content)], "doc_id long, content string")
+    return [(r["term"], r["pos"]) for r in tokenize(df).orderBy("pos").collect()]
+
+
+GOLDEN = [
+    # case folding + punctuation splitting
+    ("Def foo(bar): return bar+1", [("def", 1), ("foo", 2), ("bar", 3), ("return", 4), ("bar", 5), ("1", 6)]),
+    # leading/trailing punct trimmed by the split itself
+    ("...hello---world!!", [("hello", 1), ("world", 2)]),
+    # skip set dropped but positions keep counting the surviving stream
+    ("visit www example com now", [("visit", 1), ("example", 3), ("now", 5)]),
+    # over-long token dropped (>20 chars)
+    ("ok " + "x" * 21 + " fine", [("ok", 1), ("fine", 3)]),
+    # empty content
+    ("", []),
+    ("!!!", []),
+    # digits kept, mixed alnum kept as one token
+    ("utf8 2024 v2beta", [("utf8", 1), ("2024", 2), ("v2beta", 3)]),
+]
+
+
+def test_golden_cases(spark):
+    for content, expected in GOLDEN:
+        got = spark_tokens(spark, content)
+        assert got == expected, (content, got, expected)
+
+
+def test_oracle_tokenizer_agrees(spark):
+    for content, _ in GOLDEN:
+        spark_terms = [t for t, _ in spark_tokens(spark, content)]
+        assert spark_terms == tokenize_doc(content), content
+
+
+def test_truncation_at_max_page_len(spark):
+    # a token straddling the 10k boundary is cut — both sides must agree
+    content = ("word " * 2100)[: C.MAX_PAGE_LEN + 50] + "tail"
+    got = [t for t, _ in spark_tokens(spark, content)]
+    assert got == tokenize_doc(content)
+    assert len(got) == C.MAX_PAGE_LEN // 5 + (1 if C.MAX_PAGE_LEN % 5 >= 4 else 0)
+
+
+def test_corpus_tokenize_matches_oracle(spark, corpus):
+    rows = corpus.select("doc_id", "content").limit(30).collect()
+    tok = tokenize(corpus)
+    got = {
+        d: sorted((r["term"], r["pos"]) for r in g)
+        for d, g in _group(tok.where(tok.doc_id.isin([r["doc_id"] for r in rows])).collect())
+    }
+    for r in rows:
+        exp = sorted((t, i + 1) for i, t in enumerate(tokenize_doc(r["content"])))
+        assert got.get(r["doc_id"], []) == exp
+
+
+def _group(rows):
+    from collections import defaultdict
+
+    g = defaultdict(list)
+    for r in rows:
+        g[r["doc_id"]].append(r)
+    return g.items()

@@ -1,0 +1,91 @@
+"""Local replica of the driver's correctness gate: run each
+__spark_entry__.queries() entry on Spark and its oracle_sql() on DuckDB
+at the given sf dir, compare row-count + schema (column names) + an
+order-insensitive value hash (columns sorted by name, rows sorted).
+
+Usage: python tools/check_oracle.py [sf_dir] [name ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import sys
+
+sys.path.insert(0, ".")
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def canon(rows: list[tuple], cols: list[str]) -> str:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    body = sorted(
+        tuple(_norm(r[i]) for i in order) for r in rows
+    )
+    h = hashlib.sha256()
+    for r in body:
+        h.update(repr(r).encode())
+    return h.hexdigest()
+
+
+def _norm(v):
+    import datetime
+    import math
+
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return round(v, 9)
+    if isinstance(v, datetime.datetime):
+        return v.isoformat()
+    return v
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import duckdb
+
+    import __spark_entry__ as E
+    from search_engine_spark.session import build_session
+
+    spark = build_session(8, "oracle_check", shuffle_partitions=16)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs, os_ = E.queries(), E.oracle_sql()
+    failures = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        sdf = fn(spark, sf_dir)
+        s_cols = sdf.columns
+        s_rows = [tuple(r) for r in sdf.collect()]
+        if name not in os_:
+            print(f"{name:22s} rows={len(s_rows):7d} (no oracle; rows-only)")
+            continue
+        res = con.execute(os_[name])
+        d_cols = [c[0] for c in res.description]
+        d_rows = res.fetchall()
+        ok_schema = sorted(s_cols) == sorted(d_cols)
+        ok_count = len(s_rows) == len(d_rows)
+        ok_hash = ok_schema and canon(s_rows, s_cols) == canon(d_rows, d_cols)
+        status = "OK" if (ok_schema and ok_count and ok_hash) else "FAIL"
+        if status == "FAIL":
+            failures += 1
+        print(
+            f"{name:22s} {status}  rows={len(s_rows)}/{len(d_rows)} schema={ok_schema} hash={ok_hash}"
+        )
+        if status == "FAIL" and ok_schema:
+            ss = {tuple(_norm(x) for x in r) for r in s_rows}
+            dd = {tuple(_norm(x) for x in r) for r in d_rows}
+            print("   spark cols:", s_cols, " duck cols:", d_cols)
+            print("   only-spark:", list(ss - dd)[:3])
+            print("   only-duck :", list(dd - ss)[:3])
+    spark.stop()
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
