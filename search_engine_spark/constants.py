@@ -72,6 +72,11 @@ N_DOC_SHARDS = 32
 BLOCK_SIZE = 128
 # Salt fan-out for the two-stage hot-term aggregation during index build.
 AGG_SALT = 16
+# Term buckets: the unit of sink commit/resume/lineage (sink.py). Bucket =
+# crc32(term) % N_TERM_BUCKETS — crc32 because zlib.crc32 matches Spark's
+# F.crc32, letting the query driver prune buckets without a Spark job.
+# At 100 TB raise to O(1000); the commit protocol is unchanged.
+N_TERM_BUCKETS = 16
 
 # --- Synthetic corpus generator (FIXTURES.md §1; seed mandated by TESTDATA.md) ---
 SEED = 42

@@ -1,0 +1,308 @@
+"""Resumable, checkpointed index sink with per-partition lineage + metrics.
+
+The reference's (crude) resumability is the `crawl_old` probe + temp-table
+publish in /root/reference/src/cis5550/jobs/Indexer.java:196-233,287-294:
+already-indexed URLs are skipped and the finished table is renamed into
+place.  The Spark-first upgrade (SURVEY.md §4.2.5, §7.5) is an
+Iceberg-style *per-partition commit protocol*:
+
+  - The term space is hashed into ``n_buckets`` **term buckets**
+    (``bucket = crc32(term) % n_buckets`` — crc32 because Python's
+    ``zlib.crc32`` computes the identical value driver-side, so the query
+    path can prune buckets without a Spark job).  A bucket is the unit of
+    commit, resume, lineage and metrics.  At 100 TB, raise ``n_buckets``
+    into the thousands; the protocol is unchanged.
+  - Buckets are written in **waves** (``buckets_per_wave`` per Spark job)
+    from one cached enriched-postings frame: each wave filters its
+    buckets, encodes blocks (index.build_block_index plan), writes to a
+    temp dir, atomically renames each ``bucket=NN`` directory into the
+    final layout, and only then writes that bucket's manifest entry.
+  - A manifest entry is one JSON file ``_manifest/bucket_NNNNN.json``
+    carrying status, row/block/byte counts, wall_ms, and a
+    **content-lineage hash**: xor-aggregate of
+    ``xxhash64(term, shard, block_id, doc_bytes)`` over the bucket's
+    written rows (read back from disk, so it attests what is actually in
+    the files).  Order-insensitive, deterministic, cheap to re-verify.
+  - **Resume = set difference**: committed buckets (manifest present) are
+    skipped; a bucket directory without a manifest (crash between rename
+    and manifest write) is deleted and rewritten — the writer is
+    idempotent per bucket because the encoder is deterministic.
+
+On a real cluster each wave is an Iceberg ``append`` commit and the
+manifest rows live in a catalog table; the directory-rename + JSON-file
+fallback here keeps the exact same commit points without a catalog
+service (SURVEY.md §7 "sandbox fallback").
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import zlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import constants as C
+from .corpus import with_doc_id
+from .index import (
+    INDEX_SCHEMA,
+    _encoder_stream,
+    build_index_frames,
+    corpus_stats,
+    with_shard,
+)
+
+ENGINE_VERSION = "search_engine_spark-0.1"
+
+
+def term_bucket_py(term: str, n_buckets: int) -> int:
+    """Driver-side bucket of a term — must agree with the Spark-side
+    expression in :func:`with_bucket` (zlib.crc32 == Spark F.crc32)."""
+    return zlib.crc32(term.encode("utf-8")) % n_buckets
+
+
+def with_bucket(df: DataFrame, n_buckets: int, term_col: str = "term") -> DataFrame:
+    return df.withColumn(
+        "bucket",
+        (F.crc32(F.encode(F.col(term_col), "utf-8")) % n_buckets).cast("int"),
+    )
+
+
+def _manifest_path(root: str, bucket: int) -> str:
+    return os.path.join(root, "_manifest", f"bucket_{bucket:05d}.json")
+
+
+def committed_buckets(root: str) -> set[int]:
+    mdir = os.path.join(root, "_manifest")
+    if not os.path.isdir(mdir):
+        return set()
+    out = set()
+    for f in os.listdir(mdir):
+        if f.startswith("bucket_") and f.endswith(".json"):
+            out.add(int(f[len("bucket_") : -len(".json")]))
+    return out
+
+
+def read_manifest(root: str) -> list[dict]:
+    return [
+        json.load(open(_manifest_path(root, b)))
+        for b in sorted(committed_buckets(root))
+    ]
+
+
+def _bucket_lineage(df: DataFrame) -> dict[int, dict]:
+    """Per-bucket metrics + content hash over (already written) block rows."""
+    rows = (
+        df.groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_blocks"),
+            F.sum("n").alias("n_postings"),
+            F.count_distinct("term").alias("n_terms"),
+            F.sum(
+                F.octet_length("doc_bytes")
+                + F.octet_length("tf_bytes")
+                + F.octet_length("dl_bytes")
+                + F.octet_length("pos_bytes")
+                + F.octet_length("plen_bytes")
+            ).alias("payload_bytes"),
+            # order-insensitive content-lineage hash of the bucket
+            F.expr(
+                "bit_xor(xxhash64(term, shard, block_id, doc_bytes, tf_bytes))"
+            ).alias("content_hash"),
+        )
+        .collect()
+    )
+    return {
+        int(r["bucket"]): {
+            "n_blocks": int(r["n_blocks"]),
+            "n_postings": int(r["n_postings"]),
+            "n_terms": int(r["n_terms"]),
+            "payload_bytes": int(r["payload_bytes"]),
+            "content_hash": int(r["content_hash"]),
+        }
+        for r in rows
+    }
+
+
+class IndexSink:
+    """Filesystem layout::
+
+        root/
+          blocks/bucket=NN/*.parquet   encoded posting blocks (partition-pruned
+                                       by the query path via term→bucket)
+          tstats/ dstats/              term df / doc length side tables
+          _manifest/bucket_NN.json     one commit record per bucket
+          meta.json                    corpus stats + config + lineage summary
+    """
+
+    def __init__(self, root: str, n_buckets: int = C.N_TERM_BUCKETS):
+        self.root = root
+        self.n_buckets = n_buckets
+
+    # -- write path ---------------------------------------------------------
+
+    def build(
+        self,
+        corpus: DataFrame,
+        buckets_per_wave: int = 8,
+        fail_after_waves: int | None = None,
+        n_shards: int = C.N_DOC_SHARDS,
+    ) -> dict:
+        """Build (or resume) the index for ``corpus`` (raw input-hint schema:
+        repo/path/commit/lang/content).  Idempotent: committed buckets are
+        skipped, so re-invoking after a crash finishes the remainder and
+        the final index is byte-identical to a single-shot build.
+
+        ``fail_after_waves`` is a test hook simulating a mid-build crash.
+        """
+        t_start = time.perf_counter()
+        os.makedirs(os.path.join(self.root, "_manifest"), exist_ok=True)
+        blocks_root = os.path.join(self.root, "blocks")
+        os.makedirs(blocks_root, exist_ok=True)
+
+        done = committed_buckets(self.root)
+        # crash-window repair: bucket dir present but no manifest → rewrite
+        for d in os.listdir(blocks_root):
+            if d.startswith("bucket="):
+                b = int(d.split("=")[1])
+                if b not in done:
+                    shutil.rmtree(os.path.join(blocks_root, d))
+        pending = [b for b in range(self.n_buckets) if b not in done]
+        spark = corpus.sparkSession
+
+        corpus_ids = with_doc_id(corpus)
+        tokens, postings, dstats, tstats = build_index_frames(corpus_ids)
+        dstats = dstats.persist()
+        N, avgdl = corpus_stats(dstats)
+
+        if pending:
+            enriched = with_bucket(
+                with_shard(postings.join(dstats, "doc_id"), n_shards),
+                self.n_buckets,
+            ).persist()
+            enriched.count()  # materialize once; every wave filters this cache
+
+            waves = [
+                pending[i : i + buckets_per_wave]
+                for i in range(0, len(pending), buckets_per_wave)
+            ]
+            for wi, wave in enumerate(waves):
+                if fail_after_waves is not None and wi >= fail_after_waves:
+                    enriched.unpersist()
+                    dstats.unpersist()
+                    return {"status": "failed_injected", "waves_done": wi}
+                t0 = time.perf_counter()
+                wave_df = enriched.where(F.col("bucket").isin(wave))
+                ordered = wave_df.repartition(
+                    max(len(wave) * 4, 8), "term", "shard"
+                ).sortWithinPartitions("term", "shard", "doc_id")
+                encoded = ordered.mapInPandas(
+                    _encoder_stream(float(avgdl)), schema=INDEX_SCHEMA
+                ).withColumn(
+                    "bucket",
+                    (F.crc32(F.encode(F.col("term"), "utf-8")) % self.n_buckets).cast(
+                        "int"
+                    ),
+                )
+                tmp = os.path.join(self.root, f"_tmp_wave_{wi}")
+                shutil.rmtree(tmp, ignore_errors=True)
+                encoded.write.partitionBy("bucket").mode("overwrite").parquet(tmp)
+                written = spark.read.parquet(tmp)
+                stats = _bucket_lineage(written)
+                wall_ms = int((time.perf_counter() - t0) * 1000)
+                for b in wave:
+                    src = os.path.join(tmp, f"bucket={b}")
+                    dst = os.path.join(blocks_root, f"bucket={b}")
+                    if os.path.isdir(src):
+                        os.rename(src, dst)  # atomic publish
+                    else:
+                        os.makedirs(dst, exist_ok=True)  # empty bucket
+                    entry = {
+                        "bucket": b,
+                        "status": "committed",
+                        "wall_ms": wall_ms,
+                        "wave": wi,
+                        "engine": ENGINE_VERSION,
+                        **stats.get(
+                            b,
+                            {
+                                "n_blocks": 0,
+                                "n_postings": 0,
+                                "n_terms": 0,
+                                "payload_bytes": 0,
+                                "content_hash": 0,
+                            },
+                        ),
+                    }
+                    mp = _manifest_path(self.root, b)
+                    with open(mp + ".tmp", "w") as f:
+                        json.dump(entry, f)
+                    os.replace(mp + ".tmp", mp)  # manifest write is the commit
+                shutil.rmtree(tmp, ignore_errors=True)
+            enriched.unpersist()
+
+        # side tables + meta are cheap; (re)written last, unconditionally
+        tstats.write.mode("overwrite").parquet(os.path.join(self.root, "tstats"))
+        dstats.write.mode("overwrite").parquet(os.path.join(self.root, "dstats"))
+        dstats.unpersist()
+        meta = {
+            "N": N,
+            "avgdl": avgdl,
+            "n_buckets": self.n_buckets,
+            "n_shards": n_shards,
+            "bm25_k1": C.BM25_K1,
+            "bm25_b": C.BM25_B,
+            "engine": ENGINE_VERSION,
+            "built_buckets": self.n_buckets,
+            "wall_s_this_run": round(time.perf_counter() - t_start, 3),
+            "resumed_buckets": len(done),
+        }
+        with open(os.path.join(self.root, "meta.json.tmp"), "w") as f:
+            json.dump(meta, f)
+        os.replace(
+            os.path.join(self.root, "meta.json.tmp"),
+            os.path.join(self.root, "meta.json"),
+        )
+        return {"status": "committed", "meta": meta, "built": len(pending)}
+
+    # -- read path ----------------------------------------------------------
+
+    def read(self, spark: SparkSession):
+        meta = json.load(open(os.path.join(self.root, "meta.json")))
+        blocks = spark.read.option("basePath", os.path.join(self.root, "blocks")).parquet(
+            os.path.join(self.root, "blocks")
+        )
+        tstats = spark.read.parquet(os.path.join(self.root, "tstats"))
+        dstats = spark.read.parquet(os.path.join(self.root, "dstats"))
+        return blocks, tstats, dstats, meta
+
+    def blocks_for_terms(self, spark: SparkSession, terms: list[str]) -> DataFrame:
+        """Partition-pruned scan: only the buckets owning ``terms`` are read
+        (driver-side crc32 mirrors the write path's bucket expression)."""
+        buckets = sorted({term_bucket_py(t, self.n_buckets) for t in terms})
+        blocks, *_ = self.read(spark)
+        return blocks.where(F.col("bucket").isin(buckets)).where(
+            F.col("term").isin(terms)
+        )
+
+    def verify(self, spark: SparkSession) -> list[int]:
+        """Re-derive each committed bucket's content hash from the files on
+        disk and diff against the manifest. Returns mismatched buckets."""
+        blocks, *_ = self.read(spark)
+        actual = _bucket_lineage(blocks)
+        bad = []
+        for entry in read_manifest(self.root):
+            b = entry["bucket"]
+            got = actual.get(
+                b,
+                {"n_blocks": 0, "n_postings": 0, "n_terms": 0, "content_hash": 0},
+            )
+            if (
+                got["n_blocks"] != entry["n_blocks"]
+                or got["content_hash"] != entry["content_hash"]
+            ):
+                bad.append(b)
+        return bad
