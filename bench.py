@@ -3,6 +3,11 @@ latency on the deterministic synthetic source-code corpus sized to the
 scale factor of $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1 →
 50,000 files, FIXTURES.md §1), on local[$SPARK_GRAFT_CPUS].
 
+index_build is the PRODUCT path: IndexSink.build — tokenize → postings
+(persisted once; single corpus pass) → per-bucket commit with manifest
+lineage — exactly what a cluster run ships. Queries run against the
+written index with driver-side term→bucket partition pruning.
+
 Prints ONE JSON line:
   {"metric": "...", "value": <total wall sec>, "unit": "sec",
    "queries": {"index_build": sec, "q_hot": sec, ...},
@@ -27,14 +32,10 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from search_engine_spark import constants as C  # noqa: E402
-from search_engine_spark.corpus import generate_corpus, with_doc_id  # noqa: E402
-from search_engine_spark.index import (  # noqa: E402
-    build_block_index,
-    build_index_frames,
-    corpus_stats,
-)
-from search_engine_spark.query import bm25_topk_blocks  # noqa: E402
+from search_engine_spark.corpus import generate_corpus  # noqa: E402
+from search_engine_spark.query import bm25_topk_blocks, normalize_query  # noqa: E402
 from search_engine_spark.session import build_session  # noqa: E402
+from search_engine_spark.sink import IndexSink  # noqa: E402
 
 N_DOCS_BY_SF = {"0.001": 500, "0.01": 5000, "0.1": 50000}
 
@@ -73,28 +74,27 @@ def main() -> None:
 
     timings: dict[str, float] = {}
 
-    # --- index build: corpus parquet → compressed block index parquet ---
+    # --- index build: corpus parquet → committed block index + manifest ---
     index_path = os.path.join(data_dir, f"bench_index_sf{sf}")
     shutil.rmtree(index_path, ignore_errors=True)
     t0 = time.perf_counter()
-    corpus = with_doc_id(spark.read.parquet(corpus_path))
-    tokens, postings, dstats, tstats = build_index_frames(corpus)
-    dstats = dstats.cache()
-    N, avgdl = corpus_stats(dstats)
-    index_df = build_block_index(postings, dstats, avgdl)
-    index_df.write.mode("overwrite").parquet(os.path.join(index_path, "blocks"))
-    tstats.write.mode("overwrite").parquet(os.path.join(index_path, "tstats"))
-    dstats.write.mode("overwrite").parquet(os.path.join(index_path, "dstats"))
+    corpus = spark.read.parquet(corpus_path)
+    sink = IndexSink(index_path, n_buckets=C.N_TERM_BUCKETS)
+    res = sink.build(corpus, buckets_per_wave=C.N_TERM_BUCKETS)
+    assert res["status"] == "committed", res
     timings["index_build"] = time.perf_counter() - t0
     files_per_sec = n_docs / timings["index_build"]
 
-    # --- query latency over the written index ---
-    blocks = spark.read.parquet(os.path.join(index_path, "blocks"))
-    tstats_r = spark.read.parquet(os.path.join(index_path, "tstats")).cache()
-    tstats_r.count()
+    # --- query latency over the written, bucket-pruned index ---
+    blocks, tstats, dstats, meta = sink.read(spark)
+    N, avgdl = meta["N"], meta["avgdl"]
+    tstats = tstats.cache()
+    tstats.count()
     for name, q in BENCH_QUERIES.items():
         t0 = time.perf_counter()
-        bm25_topk_blocks(blocks, tstats_r, N, avgdl, q, k=C.TOP_K).collect()
+        terms, _w = normalize_query(q)
+        idx = sink.blocks_for_terms(spark, terms) if terms else blocks
+        bm25_topk_blocks(idx, tstats, N, avgdl, q, k=C.TOP_K).collect()
         timings[name] = time.perf_counter() - t0
 
     total = sum(timings.values())

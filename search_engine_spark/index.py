@@ -50,6 +50,20 @@ def doc_stats(tokens: DataFrame) -> DataFrame:
     return tokens.groupBy("doc_id").agg(F.count("*").cast("int").alias("doclen"))
 
 
+def doc_stats_from_postings(postings: DataFrame) -> DataFrame:
+    """doclen recovered from combined (raw+stem) postings, avoiding a
+    second tokenize pass: positions are 1-based over the RAW surviving
+    token stream and stemmed rows copy raw positions, so the global max
+    position in a document IS its raw token count. Equality with
+    doc_stats(raw_tokens) is asserted in tests/test_tokenizer.py.
+
+    This matters at scale: doc_stats(raw_tokens) re-scans the corpus,
+    while this derives from the (cached / shuffle-reused) postings."""
+    return postings.groupBy("doc_id").agg(
+        F.max(F.element_at("positions", -1)).cast("int").alias("doclen")
+    )
+
+
 def term_stats(postings: DataFrame) -> DataFrame:
     """(term) → df (document frequency). postings is unique per
     (doc_id, term) so a plain count is df."""
@@ -242,6 +256,9 @@ def build_index_frames(corpus_with_ids: DataFrame):
     )
     tokens = raw_tokens.unionByName(stemmed)
     postings = doc_postings(tokens)
-    dstats = doc_stats(raw_tokens)
+    # derived from postings (not raw_tokens) so that when the caller
+    # persists postings, doc stats / term stats / block encode all reuse
+    # that one shuffle output instead of re-tokenizing the corpus
+    dstats = doc_stats_from_postings(postings)
     tstats = term_stats(postings)
     return tokens, postings, dstats, tstats

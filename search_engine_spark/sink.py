@@ -175,6 +175,11 @@ class IndexSink:
 
         corpus_ids = with_doc_id(corpus)
         tokens, postings, dstats, tstats = build_index_frames(corpus_ids)
+        # ONE tokenize pass: postings are persisted post-shuffle and every
+        # downstream frame (doc/term stats, corpus stats, block encode)
+        # derives from this cache. On a real cluster the same reuse comes
+        # from shuffle files; persist() makes it explicit in local mode.
+        postings = postings.persist()
         dstats = dstats.persist()
         N, avgdl = corpus_stats(dstats)
 
@@ -182,17 +187,22 @@ class IndexSink:
             enriched = with_bucket(
                 with_shard(postings.join(dstats, "doc_id"), n_shards),
                 self.n_buckets,
-            ).persist()
-            enriched.count()  # materialize once; every wave filters this cache
-
+            )
             waves = [
                 pending[i : i + buckets_per_wave]
                 for i in range(0, len(pending), buckets_per_wave)
             ]
+            # multi-wave: persist the joined frame so each wave filters a
+            # cache instead of re-joining; single wave: the cache write
+            # would cost more than it saves (postings are already cached)
+            if len(waves) > 1:
+                enriched = enriched.persist()
+                enriched.count()
             for wi, wave in enumerate(waves):
                 if fail_after_waves is not None and wi >= fail_after_waves:
                     enriched.unpersist()
                     dstats.unpersist()
+                    postings.unpersist()
                     return {"status": "failed_injected", "waves_done": wi}
                 t0 = time.perf_counter()
                 wave_df = enriched.where(F.col("bucket").isin(wave))
@@ -209,6 +219,16 @@ class IndexSink:
                 )
                 tmp = os.path.join(self.root, f"_tmp_wave_{wi}")
                 shutil.rmtree(tmp, ignore_errors=True)
+                # Cluster the (already compressed, small) block rows by
+                # bucket and term-sort each file: one file per bucket with
+                # tight term min/max row-group stats, so a query's
+                # term-isin predicate prunes at both the directory level
+                # (bucket) and the row-group level (term). Without this,
+                # every wave task leaves a shard file in every bucket —
+                # n_tasks × n_buckets small files, death at scale.
+                encoded = encoded.repartition(len(wave), "bucket").sortWithinPartitions(
+                    "bucket", "term", "shard", "block_id"
+                )
                 encoded.write.partitionBy("bucket").mode("overwrite").parquet(tmp)
                 written = spark.read.parquet(tmp)
                 stats = _bucket_lineage(written)
@@ -248,6 +268,7 @@ class IndexSink:
         tstats.write.mode("overwrite").parquet(os.path.join(self.root, "tstats"))
         dstats.write.mode("overwrite").parquet(os.path.join(self.root, "dstats"))
         dstats.unpersist()
+        postings.unpersist()
         meta = {
             "N": N,
             "avgdl": avgdl,
