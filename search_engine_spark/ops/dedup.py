@@ -1,0 +1,293 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Four families, each expressed Spark-first (native ``pyspark.sql.functions``
+throughout — the shuffle-heavy shapes below are the standard web-scale
+dedup layouts and contain zero per-row Python):
+
+- **exact**: hash-groupBy on ``sha2(text)`` — one shuffle on the hash.
+- **n-gram Jaccard**: shingle inverted index self-join — the exact
+  similarity-join; candidate pairs only materialize for docs sharing a
+  shingle.
+- **MinHash + LSH**: shingle → 64 permuted min-hashes → band buckets →
+  bucket self-join. Scale path: cost is O(docs × shingles × perms) rows
+  through two aggregations, never all-pairs.
+- **SimHash**: 64-bit tf-weighted fingerprint → banded Hamming join.
+
+The reference repo's only dedup is the crawler's exact content-seen map
+(page text → canonicalURL, /root/reference/src/cis5550/jobs/
+Crawler.java:1349-1386); ``exact_dedup`` is its engine-side equivalent,
+the near-dup families are the training-data extensions the reference
+lacks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# MinHash parameters (shared with tests; deterministic).
+MINHASH_PERMS = 64
+MINHASH_BANDS = 16  # 16 bands x 4 rows
+MERSENNE_31 = 2147483647  # modulus; hashes reduced into [0, 2^31)
+SIMHASH_BANDS = 4  # 4 x 16-bit bands → catches hamming distance ≤ 3 pairs
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, …) → (id, canonical_id, group_size): canonical is the min id
+    among byte-identical texts. One shuffle, keyed on the 256-bit hash —
+    collision-free in practice and skew-free by construction."""
+    h = df.select(F.col(id_col).alias("doc_id"), F.sha2(F.col(text_col), 256).alias("sha"))
+    canon = h.groupBy("sha").agg(
+        F.min("doc_id").alias("canonical_id"), F.count("*").alias("group_size")
+    )
+    return h.join(canon, "sha").select("doc_id", "canonical_id", "group_size")
+
+
+def token_shingles(
+    df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, text) → (doc_id, shingle) distinct word n-grams. Narrow
+    (generate inside the scan stage), dedup deferred to the consumer's
+    aggregation."""
+    arr = F.filter(F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"), lambda t: t != F.lit(""))
+    cnt = F.size(arr) - (n - 1)
+    # guard: sequence(1, 0) is DESCENDING in Spark, so docs shorter than n
+    # tokens must short-circuit to an empty shingle set
+    sh = F.when(
+        cnt > 0,
+        F.transform(
+            F.sequence(F.lit(1), cnt), lambda i: F.concat_ws(" ", F.slice(arr, i, n))
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return df.select(
+        F.col(id_col).alias("doc_id"), F.explode(F.array_distinct(sh)).alias("shingle")
+    )
+
+
+def jaccard_dup_pairs(
+    df: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity join via the shingle inverted
+    index: pairs only form where a shingle is shared, intersection counts
+    come from one groupBy, and set sizes broadcast back in. At scale,
+    hot shingles (boilerplate) should be df-capped before the self-join —
+    a shingle shared by m docs contributes m² pair rows."""
+    sh = token_shingles(df, n, text_col, id_col)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard", F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def _perm_table(spark, n_perms: int = MINHASH_PERMS):
+    """Deterministic (perm_id, a, b) coefficients for h_i(x) = (a·x+b) mod
+    M31. Derived from a fixed LCG so every run/executor agrees."""
+    rows = []
+    state = 88172645463325252
+    for i in range(n_perms):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        aa = (state % (MERSENNE_31 - 2)) + 1
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        bb = state % MERSENNE_31
+        rows.append((i, aa, bb))
+    return spark.createDataFrame(rows, "perm_id int, a long, b long")
+
+
+def minhash_signatures(
+    df: DataFrame,
+    n: int = 3,
+    n_perms: int = MINHASH_PERMS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, text) → (doc_id, perm_id, minhash). Fully native: shingle →
+    xxhash64 → broadcast×perm table → groupBy min. |docs|·|shingles|·
+    |perms| rows flow through ONE partial-aggregated shuffle — the
+    map-side min collapses each (doc, perm) group before exchange."""
+    sh = token_shingles(df, n, text_col, id_col)
+    hashed = sh.select(
+        "doc_id", F.pmod(F.xxhash64("shingle"), F.lit(MERSENNE_31)).alias("h")
+    )
+    perms = _perm_table(df.sparkSession, n_perms)
+    return (
+        hashed.join(F.broadcast(perms))
+        .groupBy("doc_id", "perm_id")
+        .agg(F.min(F.pmod(F.col("a") * F.col("h") + F.col("b"), F.lit(MERSENNE_31))).alias("minhash"))
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    n_perms: int = MINHASH_PERMS,
+    n_bands: int = MINHASH_BANDS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Candidate pairs from LSH band buckets, scored by the signature-
+    estimated Jaccard (fraction of agreeing components), filtered at
+    ``threshold``. Probabilistic recall (tested against planted dups);
+    the exact variant is :func:`jaccard_dup_pairs`."""
+    rows_per_band = n_perms // n_bands
+    sig = minhash_signatures(df, n, n_perms, text_col, id_col)
+    bands = (
+        sig.withColumn("band", (F.col("perm_id") / rows_per_band).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.xxhash64(
+                F.concat_ws(",", F.sort_array(F.collect_list(F.concat_ws(":", "perm_id", "minhash"))))
+            ).alias("band_hash")
+        )
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    sa = sig.select(F.col("doc_id").alias("id_a"), "perm_id", F.col("minhash").alias("mh_a"))
+    sb = sig.select(F.col("doc_id").alias("id_b"), "perm_id", F.col("minhash").alias("mh_b"))
+    est = (
+        cand.join(sa, "id_a")
+        .join(sb, ["id_b", "perm_id"])
+        .groupBy("id_a", "id_b")
+        .agg((F.sum((F.col("mh_a") == F.col("mh_b")).cast("int")) / n_perms).alias("est_jaccard"))
+    )
+    return est.where(F.col("est_jaccard") >= threshold).select(
+        "id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard")
+    )
+
+
+def simhash_fingerprints(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, text) → (doc_id, simhash): 64-bit tf-weighted fingerprint.
+    Native formulation: term-frequency rows × a broadcast 64-row bit
+    table; bit b of the fingerprint is set iff Σ_terms tf·sign(bit b of
+    xxhash64(term)) > 0. Two partial-agg shuffles, no Python."""
+    arr = F.filter(F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"), lambda t: t != F.lit(""))
+    tf = (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(arr).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+        .withColumn("h", F.xxhash64("term"))
+    )
+    bits = df.sparkSession.range(64).select(F.col("id").cast("int").alias("bit"))
+    contrib = tf.join(F.broadcast(bits)).select(
+        "doc_id",
+        "bit",
+        F.when(F.expr("shiftright(h, bit)").bitwiseAND(F.lit(1)) == 1, F.col("tf"))
+        .otherwise(-F.col("tf"))
+        .alias("c"),
+    )
+    return (
+        contrib.groupBy("doc_id", "bit")
+        .agg(F.sum("c").alias("s"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("s") > 0, F.expr("shiftleft(1L, bit)")).otherwise(0)
+            ).alias("simhash")
+        )
+    )
+
+
+def simhash_dup_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) ≤ max_hamming via the banded
+    pigeonhole join: split 64 bits into SIMHASH_BANDS 16-bit bands; any
+    pair within distance ≤ bands-1 agrees on ≥1 band, so the self-join on
+    (band_id, band_value) sees every qualifying pair without all-pairs."""
+    fp = simhash_fingerprints(df, text_col, id_col)
+    bands = df.sparkSession.range(SIMHASH_BANDS).select(F.col("id").cast("int").alias("band"))
+    banded = fp.join(F.broadcast(bands)).select(
+        "doc_id",
+        "simhash",
+        "band",
+        F.expr("shiftright(simhash, band * 16)").bitwiseAND(F.lit(0xFFFF)).alias("band_val"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def embedding_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs. This is the exact all-pairs
+    formulation (range self-join on cosine ≥ threshold) — correct
+    baseline and oracle-checkable; the scale path buckets by random
+    hyperplane signs first (similarity.lsh_cosine_topk shares the
+    machinery)."""
+    v = emb.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    ).withColumn(
+        "norm", F.sqrt(F.aggregate("vec", F.lit(0.0), lambda acc, x: acc + x * x))
+    )
+    a, b = v.alias("a"), v.alias("b")
+    return (
+        a.join(b, F.col("a.vid") < F.col("b.vid"))
+        .select(
+            F.col("a.vid").alias("id_a"),
+            F.col("b.vid").alias("id_b"),
+            (
+                F.aggregate(
+                    F.zip_with(F.col("a.vec"), F.col("b.vec"), lambda x, y: x * y),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                / (F.col("a.norm") * F.col("b.norm"))
+            ).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    )

@@ -1,0 +1,135 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata, processed by Arrow-batched ``mapInPandas``.
+
+The Spark-side machinery — schema, batch iteration, partition sizing,
+UDF signatures — is real and tested; the actual media DECODE step is
+stubbed (this container ships no PIL/ffmpeg/librosa): ``decode=`` either
+raises ``NotImplementedError`` (strict) or applies a deterministic fake
+feature extractor (default, used by tests/oracle). Swapping in a real
+decoder is a one-function change; nothing in the distributed plumbing
+moves.
+
+Media-table schema::
+
+    media_id long, kind string (image|audio|video),
+    payload binary, meta struct<width int, height int,
+                                sample_rate int, n_frames int>
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "media_id long, kind string, payload binary, "
+    "meta struct<width:int, height:int, sample_rate:int, n_frames:int>"
+)
+
+FEATURE_DIM = 8
+
+FEATURES_SCHEMA = (
+    "media_id long, kind string, n_bytes long, sha_prefix string, "
+    f"features array<double>"
+)
+
+
+def synth_media(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Deterministic media table from the documents table: payload =
+    utf-8 bytes of the text (an opaque stand-in for real media bytes),
+    kind round-robins by id, metadata derived from payload length."""
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.pmod(F.col(id_col), 3) + 1).cast("int"),
+    )
+    n = F.octet_length(F.encode(F.col(text_col), "utf-8"))
+    return docs.select(
+        F.col(id_col).alias("media_id"),
+        kind.alias("kind"),
+        F.encode(F.col(text_col), "utf-8").alias("payload"),
+        F.struct(
+            F.pmod(n, 640).cast("int").alias("width"),
+            F.pmod(n, 480).cast("int").alias("height"),
+            F.lit(16000).alias("sample_rate"),
+            F.pmod(n, 300).cast("int").alias("n_frames"),
+        ).alias("meta"),
+    )
+
+
+def _fake_decode_features(payload: bytes) -> np.ndarray:
+    """Deterministic stand-in for a real decoder+encoder: FEATURE_DIM
+    floats from the sha256 digest, scaled to [0, 1). Replace with e.g.
+    PIL.Image.open + a vision tower in production."""
+    digest = hashlib.sha256(payload).digest()
+    raw = np.frombuffer(digest[: FEATURE_DIM * 4], dtype="<u4").astype(np.float64)
+    return raw / np.float64(2**32)
+
+
+def extract_features(media: DataFrame, strict_decode: bool = False) -> DataFrame:
+    """media table → per-item features via Arrow-batched mapInPandas.
+    The batch loop is the real production shape: one pandas batch in,
+    vectorized feature columns out, partition-parallel, no driver data.
+
+    ``strict_decode=True`` raises NotImplementedError where a real media
+    decoder would run — the marker that this container has no codec libs.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if strict_decode:
+                raise NotImplementedError(
+                    "real media decode requires PIL/ffmpeg/librosa (not in container); "
+                    "use strict_decode=False for the deterministic fake extractor"
+                )
+            payloads = pdf["payload"]
+            feats = [_fake_decode_features(p) for p in payloads]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": payloads.map(len).astype("int64"),
+                    "sha_prefix": payloads.map(
+                        lambda p: hashlib.sha256(p).hexdigest()[:16]
+                    ),
+                    "features": [f.tolist() for f in feats],
+                }
+            )
+
+    return media.mapInPandas(run, schema=FEATURES_SCHEMA)
+
+
+def frame_sample_plan(media: DataFrame, every_n: int = 30) -> DataFrame:
+    """Video frame-sampling *plan*: explodes (media_id, frame_no) for
+    every ``every_n``-th frame from the metadata — the distributed
+    work-list a real frame decoder would map over. Pure native explode;
+    the decode of each frame is the stubbed step."""
+    vids = media.where(F.col("kind") == "video")
+    frames = F.sequence(
+        F.lit(0),
+        F.greatest(F.col("meta.n_frames") - 1, F.lit(0)),
+        F.lit(every_n),
+    )
+    return vids.select("media_id", F.explode(frames).alias("frame_no"))
+
+
+def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Image resize: metadata transform is real (typed struct rewrite);
+    pixel resample is the stubbed decode step (payload passes through
+    unchanged, marked by resized=false-decode)."""
+    return media.where(F.col("kind") == "image").select(
+        "media_id",
+        "kind",
+        "payload",
+        F.struct(
+            F.lit(width).cast("int").alias("width"),
+            F.lit(height).cast("int").alias("height"),
+            F.col("meta.sample_rate").alias("sample_rate"),
+            F.col("meta.n_frames").alias("n_frames"),
+        ).alias("meta"),
+        F.lit("stub:no-codec-libs").alias("resample_status"),
+    )

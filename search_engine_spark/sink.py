@@ -173,7 +173,15 @@ class IndexSink:
         pending = [b for b in range(self.n_buckets) if b not in done]
         spark = corpus.sparkSession
 
-        corpus_ids = with_doc_id(corpus)
+        # Rebalance the corpus scan before the explode-heavy tokenize:
+        # parquet file-packing yields partitions sized for the INPUT bytes,
+        # but tokenization amplifies each byte ~20× (token rows + stem
+        # channel), so input-balanced splits become compute-skewed tasks.
+        # A round-robin exchange of the (small relative to its expansion)
+        # corpus costs one shuffle and buys full-width parallelism — at
+        # cluster scale, size this to a low multiple of total cores.
+        par = spark.sparkContext.defaultParallelism
+        corpus_ids = with_doc_id(corpus.repartition(max(par * 2, 16)))
         tokens, postings, dstats, tstats = build_index_frames(corpus_ids)
         # ONE tokenize pass: postings are persisted post-shuffle and every
         # downstream frame (doc/term stats, corpus stats, block encode)
