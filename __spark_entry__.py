@@ -51,6 +51,105 @@ toks AS (
 _POSTINGS_CTE = _TOKS_CTE + """,
 postings AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY doc_id, term)"""
 
+# Planted-duplicate fixture: must match _docs_with_dups token-for-token.
+_DUPS_CTE = r"""dd AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id,
+         trim(regexp_replace(text, '(\s+\S+){2}$', '')) AS text
+  FROM documents)"""
+
+
+def _lang_id_sql() -> str:
+    """Replicates ops.textstats.language_id: marker-profile scores,
+    argmax with lexicographic language tie-break."""
+    from search_engine_spark.ops.textstats import LANG_PROFILES
+
+    langs = sorted(LANG_PROFILES)
+    score_cols = ",\n              ".join(
+        "CASE WHEN len(arr) > 0 THEN len(list_filter(arr, x -> list_contains(["
+        + ", ".join(f"'{m}'" for m in LANG_PROFILES[lang])
+        + f"], x))) / len(arr) ELSE 0.0 END AS s_{lang}"
+        for lang in langs
+    )
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    pred = "CASE " + " ".join(f"WHEN s_{lang} = best THEN '{lang}'" for lang in langs) + " END"
+    return f"""
+        WITH t AS (SELECT doc_id,
+                          list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                      x -> x <> '') AS arr
+                   FROM documents),
+        s AS (SELECT doc_id,
+              {score_cols}
+              FROM t),
+        b AS (SELECT *, {best} AS best FROM s)
+        SELECT doc_id, {pred} AS pred_lang, ROUND(best, 6) AS lang_score FROM b
+    """
+
+
+def _quality_sql() -> str:
+    from search_engine_spark.ops.textstats import QUALITY_STOPWORDS
+
+    stops = ", ".join(f"'{w}'" for w in QUALITY_STOPWORDS)
+    return f"""
+        WITH t AS (SELECT doc_id, text, length(text)::BIGINT AS n_chars,
+                          list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                      x -> x <> '') AS arr
+                   FROM documents),
+        b AS (SELECT doc_id, n_chars, len(arr)::BIGINT AS n_toks,
+              CASE WHEN len(arr) > 0
+                   THEN len(list_filter(arr, x -> list_contains([{stops}], x))) / len(arr)
+                   ELSE 0.0 END AS stop_ratio,
+              CASE WHEN n_chars > 0
+                   THEN (n_chars - length(regexp_replace(text, '[0-9]', '', 'g'))) / n_chars
+                   ELSE 0.0 END AS digit_ratio,
+              CASE WHEN len(arr) > 0
+                   THEN list_sum(list_transform(arr, x -> length(x))) / len(arr)
+                   ELSE 0.0 END AS mean_tok_len
+              FROM t)
+        SELECT doc_id, n_chars, n_toks,
+               ROUND(stop_ratio, 6) AS stop_ratio,
+               ROUND(digit_ratio, 6) AS digit_ratio,
+               ROUND(mean_tok_len, 6) AS mean_tok_len,
+               ROUND(0.4 * (CASE WHEN n_chars BETWEEN 50 AND 5000 THEN 1.0 ELSE 0.5 END)
+                     + 0.3 * least(stop_ratio * 5, 1.0)
+                     + 0.2 * (1.0 - digit_ratio)
+                     + 0.1 * greatest(least((mean_tok_len - 2) / 5, 1.0), 0.0), 6) AS quality
+        FROM b
+    """
+
+
+def _pagerank3_sql() -> str:
+    """3 unrolled PageRank iterations over the lineitem-derived graph —
+    the SQL twin of ops.pagerank.pagerank(fixed_iters=3)."""
+    iter_tpl = """r{next} AS (
+          SELECT n.node,
+                 {base} + coalesce(i.s, 0.0) AS rank
+          FROM nodes n LEFT JOIN (
+            SELECT e.dst AS node, SUM(r.rank / o.outdeg * 0.85) AS s
+            FROM edges e JOIN outdeg o ON e.src = o.src JOIN r{cur} r ON r.node = e.src
+            GROUP BY e.dst) i USING (node))"""
+    # 1.0 - 0.85 in float64 is 0.15000000000000002; write the same value
+    base = repr(1.0 - 0.85)
+    iters = ",\n        ".join(
+        iter_tpl.format(cur=i, next=i + 1, base=base) for i in range(3)
+    )
+    return f"""
+        WITH edges AS (
+          SELECT DISTINCT l_orderkey % 97 AS src, l_suppkey % 97 AS dst
+          FROM lineitem WHERE l_orderkey % 97 <> l_suppkey % 97),
+        nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+        outdeg AS (SELECT src, COUNT(*)::DOUBLE AS outdeg FROM edges GROUP BY src),
+        r0 AS (SELECT node, 1.0 AS rank FROM nodes),
+        {iters}
+        SELECT node, ROUND(rank, 6) AS rank FROM r3
+    """
+
+
+_LANG_ID_SQL = _lang_id_sql()
+_QUALITY_SQL = _quality_sql()
+_PAGERANK3_SQL = _pagerank3_sql()
+
 
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -221,6 +320,230 @@ def q_count(spark, sf_dir):
     return li.agg(F.count("*").alias("n"))
 
 
+# ---------------------------------------------------------------------------
+# training-data pipeline operators (documents / embeddings tables)
+
+
+def _docs_with_dups(spark, sf_dir):
+    """documents ∪ near-copies (id+100000, last two tokens dropped) —
+    the planted-duplicate fixture shared verbatim with the oracle SQL."""
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    near = d.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.expr(r"trim(regexp_replace(text, '(\\s+\\S+){2}$', ''))").alias("text"),
+    )
+    return d.union(near)
+
+
+def q_exact_dedup(spark, sf_dir):
+    from search_engine_spark.ops.dedup import exact_dedup
+
+    return exact_dedup(_docs_with_dups(spark, sf_dir))
+
+
+def q_jaccard_dedup(spark, sf_dir):
+    from search_engine_spark.ops.dedup import jaccard_dup_pairs
+
+    return jaccard_dup_pairs(_docs_with_dups(spark, sf_dir), n=3, threshold=0.5)
+
+
+def q_minhash_lsh(spark, sf_dir):
+    # probabilistic candidate recall → no SQL oracle (xxhash64 has no
+    # DuckDB twin); exactness gated by tests/test_ops.py recall floor
+    from search_engine_spark.ops.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_docs_with_dups(spark, sf_dir), n=3, threshold=0.5)
+
+
+def q_simhash_pairs(spark, sf_dir):
+    from search_engine_spark.ops.dedup import simhash_dup_pairs
+
+    return simhash_dup_pairs(_docs_with_dups(spark, sf_dir), max_hamming=3)
+
+
+def q_embedding_dups(spark, sf_dir):
+    from search_engine_spark.ops.dedup import embedding_dup_pairs
+
+    return embedding_dup_pairs(_read(spark, sf_dir, "embeddings"), threshold=0.3)
+
+
+def _query_vecs(emb):
+    return (
+        emb.orderBy("vec_id")
+        .limit(5)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec"))
+    )
+
+
+def q_embedding_topk(spark, sf_dir):
+    from search_engine_spark.ops.similarity import cosine_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, _query_vecs(emb), k=10)
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    # approximate (SRP-LSH) — recall tested in pytest, no SQL oracle
+    from search_engine_spark.ops.similarity import lsh_cosine_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return lsh_cosine_topk(emb, _query_vecs(emb), k=10)
+
+
+def q_lang_id(spark, sf_dir):
+    from search_engine_spark.ops.textstats import language_id
+
+    return language_id(_read(spark, sf_dir, "documents"))
+
+
+def q_quality(spark, sf_dir):
+    from search_engine_spark.ops.textstats import quality_score
+
+    q = quality_score(_read(spark, sf_dir, "documents"))
+    return q.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        "n_toks",
+        "stop_ratio",
+        "digit_ratio",
+        "mean_tok_len",
+        "quality",
+    )
+
+
+def q_token_counts(spark, sf_dir):
+    from search_engine_spark.ops.textstats import token_counts
+
+    return token_counts(_read(spark, sf_dir, "documents"))
+
+
+def q_fingerprints(spark, sf_dir):
+    from search_engine_spark.ops.textstats import fingerprints
+
+    return fingerprints(_read(spark, sf_dir, "documents"), k=8)
+
+
+def q_multimodal_features(spark, sf_dir):
+    from search_engine_spark.ops.multimodal import extract_features, synth_media
+
+    feats = extract_features(synth_media(_read(spark, sf_dir, "documents")))
+    return feats.select("media_id", "kind", "n_bytes", "sha_prefix")
+
+
+def q_frame_plan(spark, sf_dir):
+    from search_engine_spark.ops.multimodal import frame_sample_plan, synth_media
+
+    plan = frame_sample_plan(synth_media(_read(spark, sf_dir, "documents")), every_n=30)
+    return plan.select("media_id", F.col("frame_no").cast("long").alias("frame_no"))
+
+
+def q_pagerank3(spark, sf_dir):
+    from search_engine_spark.ops.pagerank import pagerank
+
+    li = _read(spark, sf_dir, "lineitem")
+    edges = (
+        li.select(
+            (F.col("l_orderkey") % 97).alias("src"), (F.col("l_suppkey") % 97).alias("dst")
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    r = pagerank(edges, fixed_iters=3, checkpoint=False)
+    return r.select("node", F.round("rank", 6).alias("rank"))
+
+
+# ---------------------------------------------------------------------------
+# generic operators absent from the reference (SURVEY.md §2.1 "missing"):
+# semi/anti joins, rollup/cube, date/JSON/math functions, range + as-of joins
+
+
+def q_semi_join(spark, sf_dir):
+    o = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem").where(F.col("l_quantity") > 49)
+    return o.join(li, o.o_orderkey == li.l_orderkey, "left_semi").select(
+        "o_orderkey", "o_totalprice"
+    )
+
+
+def q_anti_join(spark, sf_dir):
+    # customers with no high-value order (threshold keeps result non-empty)
+    c = _read(spark, sf_dir, "customer")
+    o = _read(spark, sf_dir, "orders").where(F.col("o_totalprice") > 300000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_acctbal")
+
+
+def q_rollup_agg(spark, sf_dir):
+    li = _read(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"), F.round(F.avg("l_quantity"), 6).alias("avg_qty")
+    )
+
+
+def q_cube_agg(spark, sf_dir):
+    o = _read(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n"), F.round(F.avg("o_totalprice"), 4).alias("avg_price")
+    )
+
+
+def q_date_trunc_agg(spark, sf_dir):
+    ev = _read(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("day", "ts").alias("day"), "event_type"
+    ).agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+
+
+def q_json_extract(spark, sf_dir):
+    ev = _read(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.countDistinct("k").alias("n_k"),
+        )
+    )
+
+
+def q_math_funcs(spark, sf_dir):
+    li = _read(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.round(F.avg(F.sqrt("l_quantity")), 6).alias("avg_sqrt_qty"),
+        F.round(F.avg(F.log(F.col("l_extendedprice"))), 6).alias("avg_ln_price"),
+        F.round(F.avg(F.pow(F.col("l_discount") + 1.0, 2)), 6).alias("avg_pow_disc"),
+    )
+
+
+def q_range_join(spark, sf_dir):
+    ev = _read(spark, sf_dir, "events")
+    b = spark.range(20).select(F.col("id").alias("bucket"))
+    return (
+        ev.join(
+            F.broadcast(b),
+            (ev.value >= b.bucket * 5.0) & (ev.value < b.bucket * 5.0 + 5.0),
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"), F.round(F.avg("value"), 6).alias("avg_value"))
+    )
+
+
+def q_asof_join(spark, sf_dir):
+    # as-of join: latest order of the same key at-or-before each event ts
+    ev = _read(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    o = _read(spark, sf_dir, "orders").select("o_custkey", "o_orderdate", "o_orderkey")
+    j = ev.join(
+        o, (F.col("user_id") == F.col("o_custkey")) & (F.col("o_orderdate") <= F.col("ts"))
+    )
+    w = W.partitionBy("event_id").orderBy(F.desc("o_orderdate"), F.desc("o_orderkey"))
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("event_id", "user_id", "o_orderkey", "o_orderdate")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tokenize_postings": q_tokenize_postings,
@@ -239,6 +562,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_orders": q_topk_orders,
         "union_distinct": q_union_distinct,
         "count": q_count,
+        "exact_dedup": q_exact_dedup,
+        "jaccard_dedup": q_jaccard_dedup,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash_pairs": q_simhash_pairs,
+        "embedding_dups": q_embedding_dups,
+        "embedding_topk": q_embedding_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "lang_id": q_lang_id,
+        "quality": q_quality,
+        "token_counts": q_token_counts,
+        "fingerprints": q_fingerprints,
+        "multimodal_features": q_multimodal_features,
+        "frame_plan": q_frame_plan,
+        "pagerank3": q_pagerank3,
+        "semi_join": q_semi_join,
+        "anti_join": q_anti_join,
+        "rollup_agg": q_rollup_agg,
+        "cube_agg": q_cube_agg,
+        "date_trunc_agg": q_date_trunc_agg,
+        "json_extract": q_json_extract,
+        "math_funcs": q_math_funcs,
+        "range_join": q_range_join,
+        "asof_join": q_asof_join,
     }
 
 
@@ -317,4 +663,134 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_custkey AS custkey FROM orders UNION SELECT c_custkey AS custkey FROM customer
         """,
         "count": "SELECT COUNT(*)::BIGINT AS n FROM lineitem",
+        "exact_dedup": f"""
+            WITH {_DUPS_CTE},
+            c AS (SELECT text, MIN(doc_id) AS canonical_id, COUNT(*)::BIGINT AS group_size
+                  FROM dd GROUP BY text)
+            SELECT dd.doc_id, c.canonical_id, c.group_size FROM dd JOIN c USING (text)
+        """,
+        "jaccard_dedup": f"""
+            WITH {_DUPS_CTE},
+            sh AS (SELECT DISTINCT doc_id, shingle FROM (
+              SELECT doc_id,
+                     unnest(list_transform(generate_series(1, greatest(len(arr)-2, 0)),
+                                           i -> array_to_string(arr[i:i+2], ' '))) AS shingle
+              FROM (SELECT doc_id,
+                           list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                       x -> x <> '') AS arr
+                    FROM dd))),
+            sz AS (SELECT doc_id, COUNT(*)::BIGINT AS n_sh FROM sh GROUP BY doc_id),
+            inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*)::BIGINT AS inter
+                      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2)
+            SELECT id_a, id_b,
+                   ROUND(inter / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
+            FROM inter
+            JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+            WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.5
+        """,
+        "embedding_dups": """
+            WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+            p AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     list_dot_product(a.vec, b.vec)
+                       / (sqrt(list_dot_product(a.vec, a.vec)) * sqrt(list_dot_product(b.vec, b.vec)))
+                       AS cosine
+              FROM v a JOIN v b ON a.vec_id < b.vec_id)
+            SELECT id_a, id_b, ROUND(cosine, 6) AS cosine FROM p WHERE cosine >= 0.3
+        """,
+        "embedding_topk": """
+            WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+            q AS (SELECT vec_id AS query_id, vec AS qvec FROM v ORDER BY vec_id LIMIT 5),
+            scored AS (
+              SELECT q.query_id, v.vec_id,
+                     list_dot_product(v.vec, q.qvec)
+                       / (sqrt(list_dot_product(v.vec, v.vec)) * sqrt(list_dot_product(q.qvec, q.qvec)))
+                       AS cosine
+              FROM v CROSS JOIN q)
+            SELECT query_id, vec_id, ROUND(cosine, 6) AS cosine, rank FROM (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                           ORDER BY cosine DESC, vec_id ASC)::BIGINT AS rank
+              FROM scored)
+            WHERE rank <= 10
+        """,
+        "lang_id": _LANG_ID_SQL,
+        "quality": _QUALITY_SQL,
+        "token_counts": r"""
+            SELECT doc_id,
+                   len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))::BIGINT AS n_ws_tokens,
+                   len(regexp_extract_all(lower(text), '([a-z]+|[0-9]|[^a-z0-9\s])', 1))::BIGINT AS n_bpe_tokens
+            FROM documents
+        """,
+        "fingerprints": """
+            SELECT doc_id,
+                   list_min(list_transform(generate_series(1, greatest(length(lower(text)) - 7, 1)),
+                                           i -> md5(substr(lower(text), i, 8)))) AS fingerprint
+            FROM documents
+        """,
+        "multimodal_features": """
+            SELECT doc_id AS media_id,
+                   CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+                   octet_length(encode(text))::BIGINT AS n_bytes,
+                   substr(sha256(text), 1, 16) AS sha_prefix
+            FROM documents
+        """,
+        "frame_plan": """
+            SELECT media_id, unnest(generate_series(0, greatest(nf - 1, 0), 30))::BIGINT AS frame_no
+            FROM (SELECT doc_id AS media_id, octet_length(encode(text)) % 300 AS nf
+                  FROM documents WHERE doc_id % 3 = 2)
+        """,
+        "pagerank3": _PAGERANK3_SQL,
+        "semi_join": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_quantity > 49)
+        """,
+        "anti_join": """
+            SELECT c_custkey, c_acctbal FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                                    WHERE o_totalprice > 300000 AND o_custkey IS NOT NULL)
+        """,
+        "rollup_agg": """
+            SELECT l_returnflag, l_linestatus, COUNT(*)::BIGINT AS n,
+                   ROUND(AVG(l_quantity), 6) AS avg_qty
+            FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        """,
+        "cube_agg": """
+            SELECT o_orderstatus, o_orderpriority, COUNT(*)::BIGINT AS n,
+                   ROUND(AVG(o_totalprice), 4) AS avg_price
+            FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        """,
+        "date_trunc_agg": """
+            SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type, COUNT(*)::BIGINT AS n,
+                   ROUND(SUM(value), 4) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "json_extract": """
+            SELECT event_type, COUNT(*)::BIGINT AS n,
+                   SUM(CAST(props->>'$.k' AS BIGINT))::BIGINT AS sum_k,
+                   COUNT(DISTINCT CAST(props->>'$.k' AS BIGINT))::BIGINT AS n_k
+            FROM events GROUP BY event_type
+        """,
+        "math_funcs": """
+            SELECT l_linestatus,
+                   ROUND(AVG(sqrt(l_quantity)), 6) AS avg_sqrt_qty,
+                   ROUND(AVG(ln(l_extendedprice)), 6) AS avg_ln_price,
+                   ROUND(AVG(pow(l_discount + 1.0, 2)), 6) AS avg_pow_disc
+            FROM lineitem GROUP BY l_linestatus
+        """,
+        "range_join": """
+            SELECT b.bucket, COUNT(*)::BIGINT AS n, ROUND(AVG(e.value), 6) AS avg_value
+            FROM events e JOIN (SELECT range AS bucket FROM range(20)) b
+              ON e.value >= b.bucket * 5.0 AND e.value < b.bucket * 5.0 + 5.0
+            GROUP BY b.bucket
+        """,
+        "asof_join": """
+            SELECT event_id, user_id, o_orderkey, o_orderdate FROM (
+              SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate,
+                     ROW_NUMBER() OVER (PARTITION BY e.event_id
+                                        ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+              FROM events e
+              JOIN orders o ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts)
+            WHERE rn = 1
+        """,
     }
