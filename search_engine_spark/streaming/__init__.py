@@ -1,0 +1,15 @@
+from .jobs import (
+    incremental_index_stream,
+    read_corpus_stream,
+    read_events_stream,
+    running_user_totals,
+    windowed_event_counts,
+)
+
+__all__ = [
+    "incremental_index_stream",
+    "read_corpus_stream",
+    "read_events_stream",
+    "running_user_totals",
+    "windowed_event_counts",
+]

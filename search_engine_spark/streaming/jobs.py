@@ -1,0 +1,143 @@
+"""Structured Streaming jobs.
+
+The reference has NO streaming — its closest shape is the crawler's
+iterative frontier loop (`while(urlQueue.count()!=0) urlQueue =
+urlQueue.flatMap(λ)`, /root/reference/src/cis5550/jobs/Crawler.java:
+1402-1405), which is batch BFS. These jobs are the Spark-native stream
+capabilities a continuously-ingesting 100 TB corpus needs:
+
+- :func:`incremental_index_stream` — new corpus files appear in a
+  directory; each micro-batch tokenizes its documents and appends their
+  postings + doc stats to the index store. ``foreachBatch`` + the stream
+  checkpoint give exactly-once per input file; because a document
+  arrives whole within one file, its postings are complete within one
+  batch and plain append is a correct merge (re-ingestion of a CHANGED
+  doc id would need a MERGE sink — documented, out of scope).
+  ``Trigger.AvailableNow`` drains everything pending then stops, which is
+  both the test mode and the nightly-catch-up mode on a cluster.
+- :func:`windowed_event_counts` — event-time tumbling windows with a
+  watermark for late data.
+- :func:`running_user_totals` — custom stateful operator via
+  ``applyInPandasWithState``: running per-user event count/value totals
+  carried in GroupState across micro-batches.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..corpus import CORPUS_SCHEMA, with_doc_id
+from ..index import doc_postings, doc_stats
+from ..tokenize import tokenize
+
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def read_corpus_stream(spark: SparkSession, corpus_dir: str) -> DataFrame:
+    return (
+        spark.readStream.schema(CORPUS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(corpus_dir)
+    )
+
+
+def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_dir)
+    )
+
+
+def incremental_index_stream(
+    spark: SparkSession,
+    corpus_dir: str,
+    store_dir: str,
+    checkpoint_dir: str,
+):
+    """Start (and return) the incremental indexing query. Postings and
+    doc stats land under ``store_dir`` as append-only parquet; the stream
+    checkpoint makes file ingestion exactly-once across restarts — the
+    streaming upgrade of the reference's crawl_old skip-probe
+    (Indexer.java:213-229)."""
+    stream = read_corpus_stream(spark, corpus_dir)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        ids = with_doc_id(batch_df)
+        toks = tokenize(ids)
+        postings = doc_postings(toks).withColumn("batch_id", F.lit(batch_id))
+        dstats = doc_stats(toks).withColumn("batch_id", F.lit(batch_id))
+        postings.write.mode("append").parquet(f"{store_dir}/postings")
+        dstats.write.mode("append").parquet(f"{store_dir}/dstats")
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def windowed_event_counts(
+    events: DataFrame, window: str = "1 day", watermark: str = "2 days"
+) -> DataFrame:
+    """Event-time tumbling-window aggregation with late-data watermark.
+    In append mode a window emits once the watermark passes its end —
+    late events within ``watermark`` still count, older ones drop."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("sum_value"))
+        .select(
+            F.col("w.start").alias("win_start"),
+            F.col("w.end").alias("win_end"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+_STATE_SCHEMA = "n long, total double"
+_TOTALS_SCHEMA = "user_id long, n long, total double"
+
+
+def _update_totals(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    if state.exists:
+        n, total = state.get
+    else:
+        n, total = 0, 0.0
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame({"user_id": [user_id], "n": [n], "total": [total]})
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): running per-user
+    event count and value total, emitted once per user per micro-batch.
+    GroupState holds (n, total) across batches; Arrow moves each group's
+    rows as pandas batches — the streaming analogue of the engine's
+    mapInPandas encoder path."""
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            _update_totals,
+            outputStructType=_TOTALS_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

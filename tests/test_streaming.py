@@ -1,0 +1,148 @@
+"""Structured Streaming gates: incremental index equals batch-built
+index over the same files; windowed watermark aggregation matches the
+batch groundtruth; the custom stateful operator accumulates across
+micro-batches exactly."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_spark.corpus import generate_corpus, with_doc_id
+from search_engine_spark.index import doc_postings
+from search_engine_spark.streaming import (
+    incremental_index_stream,
+    read_events_stream,
+    running_user_totals,
+    windowed_event_counts,
+)
+from search_engine_spark.tokenize import tokenize
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _await(query, timeout=120):
+    assert query.awaitTermination(timeout), "stream did not finish in time"
+
+
+def test_incremental_index_matches_batch(spark, tmp_path):
+    corpus_dir = str(tmp_path / "in")
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(corpus_dir)
+    full = generate_corpus(spark, 120).cache()
+    # two arrival waves: files 0..59 then 60..119
+    a = full.where(F.xxhash64("repo", "path", "commit") % 2 == 0)
+    b = full.subtract(a)
+    a.coalesce(1).write.mode("append").parquet(corpus_dir)
+
+    q = incremental_index_stream(spark, corpus_dir, store, ckpt)
+    _await(q)
+    n_after_first = spark.read.parquet(f"{store}/postings").count()
+    assert n_after_first > 0
+
+    b.coalesce(1).write.mode("append").parquet(corpus_dir)
+    q = incremental_index_stream(spark, corpus_dir, store, ckpt)
+    _await(q)
+
+    streamed = spark.read.parquet(f"{store}/postings")
+    assert streamed.count() > n_after_first
+    batch = doc_postings(tokenize(with_doc_id(full)))
+    s = {
+        (r["doc_id"], r["term"], r["tf"], tuple(r["positions"]))
+        for r in streamed.select("doc_id", "term", "tf", "positions").collect()
+    }
+    e = {
+        (r["doc_id"], r["term"], r["tf"], tuple(r["positions"]))
+        for r in batch.collect()
+    }
+    assert s == e
+
+    # restart with nothing new: checkpoint makes re-ingestion a no-op
+    q = incremental_index_stream(spark, corpus_dir, store, ckpt)
+    _await(q)
+    assert spark.read.parquet(f"{store}/postings").count() == len(s)
+    full.unpersist()
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("ev") / "in")
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    # two files split by time so the watermark advances between batches
+    mid = ev.approxQuantile("event_id", [0.5], 0.0)[0]
+    ev.where(F.col("event_id") <= mid).coalesce(1).write.mode("append").parquet(d)
+    ev.where(F.col("event_id") > mid).coalesce(1).write.mode("append").parquet(d)
+    return d
+
+
+def test_windowed_counts_with_watermark(spark, events_dir, tmp_path):
+    out = windowed_event_counts(read_events_stream(spark, events_dir))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await(q)
+    got = {
+        (r["win_start"], r["win_end"], r["event_type"]): (r["n"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM win_counts").collect()
+    }
+    # append mode emits only watermark-closed windows; every emitted row
+    # must equal the batch groundtruth, and the early windows must have
+    # been emitted (watermark advanced past them after batch 1)
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    expect = {
+        (r["win_start"], r["win_end"], r["event_type"]): (r["n"], r["sum_value"])
+        for r in ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("sum_value"))
+        .select(
+            F.col("w.start").alias("win_start"),
+            F.col("w.end").alias("win_end"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+        .collect()
+    }
+    assert got, "watermark never closed any window"
+    for k, v in got.items():
+        assert expect[k] == v, f"window {k}: streamed {v} != batch {expect[k]}"
+
+
+def test_running_user_totals_stateful(spark, events_dir, tmp_path):
+    totals = running_user_totals(read_events_stream(spark, events_dir))
+    q = (
+        totals.writeStream.format("memory")
+        .queryName("user_totals")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await(q)
+    rows = spark.sql("SELECT * FROM user_totals").collect()
+    # update mode: one snapshot per user per batch touching it; the MAX n
+    # snapshot per user is the final state — must equal the batch totals
+    final: dict[int, tuple[int, float]] = {}
+    for r in rows:
+        cur = final.get(r["user_id"])
+        if cur is None or r["n"] > cur[0]:
+            final[r["user_id"]] = (r["n"], r["total"])
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    expect = {
+        r["user_id"]: (r["n"], r["total"])
+        for r in ev.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    assert set(final) == set(expect)
+    for u in expect:
+        assert final[u][0] == expect[u][0]
+        assert abs(final[u][1] - expect[u][1]) < 1e-6
