@@ -544,6 +544,39 @@ def q_asof_join(spark, sf_dir):
     )
 
 
+def q_sample_hash(spark, sf_dir):
+    # deterministic ~5% Bernoulli sample via content hash — the
+    # reproducible twin of FlameRDD.sample (FlameRDD.java:114), which is
+    # per-instance random; hash-gating makes the draw auditable and
+    # oracle-checkable (md5 exists on both engines)
+    li = _read(spark, sf_dir, "lineitem")
+    gate = F.substring(F.md5(F.concat_ws("|", "l_orderkey", "l_linenumber")), 1, 2) < "0d"
+    return li.where(gate).select("l_orderkey", "l_linenumber", "l_quantity")
+
+
+def q_url_index(spark, sf_dir):
+    # URL-index analog (URLIndexer.java:108-172): tokens of the document
+    # "location" (source column here; repo/path for the code corpus) →
+    # per-term doc list. Output df + id range; the full sorted list is
+    # covered by tokenize_postings.
+    d = _read(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.filter(
+                    F.split(F.lower("source"), r"[^a-z0-9]+"), lambda t: t != F.lit("")
+                )
+            )
+        ).alias("term"),
+    )
+    return toks.groupBy("term").agg(
+        F.count("*").alias("n_docs"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tokenize_postings": q_tokenize_postings,
@@ -585,6 +618,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "math_funcs": q_math_funcs,
         "range_join": q_range_join,
         "asof_join": q_asof_join,
+        "sample_hash": q_sample_hash,
+        "url_index": q_url_index,
     }
 
 
@@ -792,5 +827,19 @@ def oracle_sql() -> dict[str, str]:
               FROM events e
               JOIN orders o ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts)
             WHERE rn = 1
+        """,
+        "sample_hash": """
+            SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+            WHERE substr(md5(l_orderkey || '|' || l_linenumber), 1, 2) < '0d'
+        """,
+        "url_index": """
+            SELECT term, COUNT(*)::BIGINT AS n_docs,
+                   MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+            FROM (
+              SELECT DISTINCT doc_id, unnest(list_filter(
+                       regexp_split_to_array(lower(source), '[^a-z0-9]+'),
+                       x -> x <> '')) AS term
+              FROM documents)
+            GROUP BY term
         """,
     }
