@@ -54,23 +54,44 @@ def sf_of(sf_dir: str) -> str:
 
 
 def ensure_corpus(spark, sf: str, n_docs: int, data_dir: str) -> str:
-    path = os.path.join(data_dir, f"corpus_sf{sf}.parquet")
+    default = N_DOCS_BY_SF.get(sf) == n_docs
+    name = f"corpus_sf{sf}.parquet" if default else f"corpus_sf{sf}_n{n_docs}.parquet"
+    path = os.path.join(data_dir, name)
     if not os.path.exists(path):
         generate_corpus(spark, n_docs).write.mode("overwrite").parquet(path)
     return path
 
 
+def warmup(spark) -> None:
+    """Pay one-time cluster costs (executor registration, Python worker
+    import of numpy/pandas, codegen JIT) before the timed region — on a
+    real cluster these are paid at cluster start, not per job."""
+    import pandas as pd
+
+    df = spark.range(0, 10000, 1, 64)
+    df.mapInPandas(
+        lambda it: (pd.DataFrame({"id": p["id"]}) for p in it), schema="id long"
+    ).agg({"id": "sum"}).collect()
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # SPARK_GRAFT_EXECUTORS=N → local-cluster[N,4,…]: N real executor
+    # JVMs (the faithful N→4N executor-scaling shape, see session.py)
+    executors = os.environ.get("SPARK_GRAFT_EXECUTORS")
+    executors = int(executors) if executors else None
     sf = sf_of(sf_dir)
-    n_docs = N_DOCS_BY_SF.get(sf, 50000)
+    n_docs = int(os.environ.get("SPARK_GRAFT_NDOCS", N_DOCS_BY_SF.get(sf, 50000)))
     repo = os.path.dirname(os.path.abspath(__file__))
     data_dir = os.path.join(repo, ".data")
     os.makedirs(data_dir, exist_ok=True)
 
-    spark = build_session(cores, f"bench_sf{sf}", shuffle_partitions=64)
+    spark = build_session(
+        cores, f"bench_sf{sf}", shuffle_partitions=64, executors=executors
+    )
     corpus_path = ensure_corpus(spark, sf, n_docs, data_dir)
+    warmup(spark)
 
     timings: dict[str, float] = {}
 
@@ -107,7 +128,8 @@ def main() -> None:
                 "queries": {k: round(v, 3) for k, v in timings.items()},
                 "sf": float(sf),
                 "n_docs": n_docs,
-                "cores": cores,
+                "cores": executors * 4 if executors else cores,
+                "executors": executors,
                 "files_per_sec": round(files_per_sec, 1),
             }
         )

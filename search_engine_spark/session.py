@@ -1,7 +1,16 @@
 """SparkSession factory with the scale-oriented defaults the engine assumes.
 
-Local mode here stands in for a multi-executor cluster (see BASELINE.md:
-the N→4N executor scaling criterion is evidenced as local[8] → local[32]).
+Two stand-ins for a real cluster exist in this sandbox:
+
+- ``local[N]`` — one shared JVM. Fast to start, but all tasks share one
+  heap, so wide parallelism couples through GC/execution-memory pressure
+  in ways a real cluster does not.
+- ``executors=N`` → ``local-cluster[N, cores_per_executor, mem]`` —
+  N REAL executor JVMs with dedicated heaps and their own Python
+  workers. This is the faithful shape for the N→4N *executor* scaling
+  criterion (BASELINE.json north_rule): per-executor resources stay
+  constant while executor count grows, exactly like adding nodes.
+
 Every conf below is equally valid on a real cluster.
 """
 
@@ -11,17 +20,27 @@ import os
 
 from pyspark.sql import SparkSession
 
+EXECUTOR_CORES = 4
+EXECUTOR_MEM_MB = 6144
+
 
 def build_session(
     cores: int | str = "*",
     app_name: str = "search_engine_spark",
     shuffle_partitions: int | None = None,
     extra_conf: dict | None = None,
+    executors: int | None = None,
 ) -> SparkSession:
+    if executors is not None:
+        master = f"local-cluster[{executors},{EXECUTOR_CORES},{EXECUTOR_MEM_MB}]"
+        total_cores = executors * EXECUTOR_CORES
+    else:
+        master = f"local[{cores}]"
+        total_cores = None if cores == "*" else int(cores)
     if shuffle_partitions is None:
-        shuffle_partitions = 32 if cores == "*" else max(int(cores), 8)
+        shuffle_partitions = 32 if total_cores is None else max(total_cores, 8)
     builder = (
-        SparkSession.builder.master(f"local[{cores}]")
+        SparkSession.builder.master(master)
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
@@ -34,6 +53,14 @@ def build_session(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
     )
+    if executors is not None:
+        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        builder = (
+            builder.config("spark.executor.memory", f"{EXECUTOR_MEM_MB - 1024}m")
+            .config("spark.executor.cores", str(EXECUTOR_CORES))
+            # executor python workers must import this package
+            .config("spark.executorEnv.PYTHONPATH", repo_root)
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

