@@ -34,6 +34,7 @@ SF_DEFAULT = "/root/testdata/sf0.001"
 BM25_TERMS = ["join", "merge", "scan"]
 
 _SKIPS_SQL = ",".join(f"'{w}'" for w in sorted(C.SKIP_WORDS))
+_BM25_TERMS_SQL = ",".join(f"'{t}'" for t in BM25_TERMS)
 
 # Shared DuckDB CTE: tokenizer semantics identical to
 # search_engine_spark.tokenize.tokenize (Indexer.java:129-169 semantics).
@@ -544,6 +545,20 @@ def q_asof_join(spark, sf_dir):
     )
 
 
+def q_bm25_conjunctive(spark, sf_dir):
+    # AND-semantics BM25 (reference candidate intersection,
+    # RankerCharles.java:161-164) — only docs containing every term score
+    from search_engine_spark.query import bm25_conjunctive_topk
+
+    toks = _doc_tokens(spark, sf_dir)
+    postings = doc_postings(toks)
+    dstats = doc_stats(toks)
+    tstats = term_stats(postings)
+    N, avgdl = corpus_stats(dstats)
+    top = bm25_conjunctive_topk(postings, dstats, tstats, N, avgdl, BM25_TERMS, C.TOP_K)
+    return top.select("doc_id", F.round("score", 6).alias("score"))
+
+
 def q_sample_hash(spark, sf_dir):
     # deterministic ~5% Bernoulli sample via content hash — the
     # reproducible twin of FlameRDD.sample (FlameRDD.java:114), which is
@@ -620,6 +635,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "sample_hash": q_sample_hash,
         "url_index": q_url_index,
+        "bm25_conjunctive": q_bm25_conjunctive,
     }
 
 
@@ -841,5 +857,24 @@ def oracle_sql() -> dict[str, str]:
                        x -> x <> '')) AS term
               FROM documents)
             GROUP BY term
+        """,
+        "bm25_conjunctive": f"""
+            WITH {_POSTINGS_CTE},
+            dstats AS (SELECT doc_id, count(*)::DOUBLE AS doclen FROM toks GROUP BY doc_id),
+            cstats AS (SELECT count(*)::DOUBLE AS n, avg(doclen) AS avgdl FROM dstats),
+            tstats AS (SELECT term, count(*)::DOUBLE AS df FROM postings GROUP BY term),
+            hits AS (SELECT doc_id, term, tf FROM postings WHERE term IN ({_BM25_TERMS_SQL})),
+            full_docs AS (SELECT doc_id FROM hits GROUP BY doc_id
+                          HAVING COUNT(DISTINCT term) = {len(BM25_TERMS)}),
+            scored AS (
+              SELECT h.doc_id,
+                     ln(1.0 + (c.n - t.df + 0.5) / (t.df + 0.5))
+                       * (h.tf * ({C.BM25_K1} + 1.0))
+                       / (h.tf + {C.BM25_K1} * (1.0 - {C.BM25_B} + {C.BM25_B} * d.doclen / c.avgdl)) AS w
+              FROM hits h
+              JOIN full_docs USING (doc_id)
+              JOIN dstats d USING (doc_id) JOIN tstats t USING (term) CROSS JOIN cstats c)
+            SELECT doc_id, ROUND(SUM(w), 6) AS score FROM scored
+            GROUP BY doc_id ORDER BY SUM(w) DESC, doc_id ASC LIMIT {C.TOP_K}
         """,
     }

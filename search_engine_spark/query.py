@@ -139,6 +139,70 @@ def bm25_score_terms(
     )
 
 
+def bm25_conjunctive_topk(
+    postings: DataFrame,
+    dstats: DataFrame,
+    tstats: DataFrame,
+    N: int,
+    avgdl: float,
+    terms: list[str],
+    k: int = C.TOP_K,
+) -> DataFrame:
+    """Conjunctive (AND) BM25: only documents containing EVERY query term
+    are scored — the engine form of the reference's candidate-set
+    intersection (retainAll, /root/reference/src/cis5550/jobs/
+    RankerCharles.java:161-164,264-265). The intersection is a
+    semi-group: groupBy(doc).having(count(distinct term) == |terms|) over
+    the term-filtered postings — one partial-aggregated shuffle, after
+    which scoring touches only surviving docs."""
+    spark = postings.sparkSession
+    terms = sorted(set(terms))
+    if not terms:
+        return spark.createDataFrame([], "doc_id long, score double")
+    hits = postings.select("doc_id", "term", "tf").where(F.col("term").isin(terms))
+    full = (
+        hits.groupBy("doc_id")
+        .agg(F.count_distinct("term").alias("nt"))
+        .where(F.col("nt") == len(terms))
+        .select("doc_id")
+    )
+    return bm25_score_terms(
+        hits.join(full, "doc_id"), dstats, tstats, N, avgdl, terms, 1.0, k
+    )
+
+
+def blend_with_pagerank(
+    topk: DataFrame,
+    pageranks: DataFrame,
+    k: int = C.TOP_K,
+    w_text: float = C.TFIDF_WEIGHT,
+    w_pr: float = C.PAGERANK_WEIGHT,
+) -> DataFrame:
+    """Optional production blend (flag-gated capability parity with the
+    reference's Search.java:111-114): final = 0.95·ln(text_score) +
+    0.05·ln(pagerank), weights from constants.py (Search.java:24).
+
+    ``topk`` = (doc_id, score) from either BM25 path; ``pageranks`` =
+    (node, rank) from ops.pagerank. Docs without a rank get the
+    reference's implicit floor rank 0.15 (= a page nobody links to).
+    The join is broadcast when ranks are small; re-ranking happens over
+    at most k rows, so this is a driver-cheap post-step.
+    """
+    pr = pageranks.select(F.col("node").alias("doc_id"), F.col("rank").alias("pr"))
+    return (
+        topk.join(pr, "doc_id", "left")
+        .select(
+            "doc_id",
+            (
+                w_text * F.log(F.col("score"))
+                + w_pr * F.log(F.coalesce(F.col("pr"), F.lit(1.0 - C.PR_DECAY)))
+            ).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 def _score_shard_factory(idf_by_term: dict[str, float], weight: float, k: int, avgdl: float):
     """Returns the per-shard scorer for applyInPandas. Block-max pruning:
     (1) decode doc-id streams only; per-doc upper bound = Σ_t idf_t ·

@@ -50,8 +50,8 @@ from .corpus import with_doc_id
 from .index import (
     INDEX_SCHEMA,
     _encoder_stream,
-    build_index_frames,
     corpus_stats,
+    doc_stats,
     with_shard,
 )
 
@@ -159,6 +159,7 @@ class IndexSink:
         ``fail_after_waves`` is a test hook simulating a mid-build crash.
         """
         t_start = time.perf_counter()
+        phase_t: dict[str, float] = {}
         os.makedirs(os.path.join(self.root, "_manifest"), exist_ok=True)
         blocks_root = os.path.join(self.root, "blocks")
         os.makedirs(blocks_root, exist_ok=True)
@@ -182,18 +183,45 @@ class IndexSink:
         # cluster scale, size this to a low multiple of total cores.
         par = spark.sparkContext.defaultParallelism
         corpus_ids = with_doc_id(corpus.repartition(max(par * 2, 16)))
-        tokens, postings, dstats, tstats = build_index_frames(corpus_ids)
-        # ONE tokenize pass: postings are persisted post-shuffle and every
-        # downstream frame (doc/term stats, corpus stats, block encode)
-        # derives from this cache. On a real cluster the same reuse comes
-        # from shuffle files; persist() makes it explicit in local mode.
-        postings = postings.persist()
-        dstats = dstats.persist()
+
+        # I/O-lean dataflow: the heavy (positions-bearing) postings frame
+        # is NEVER cached — it flows straight from tokenize into the
+        # encoder shuffle exactly once. Stats come from two slim frames:
+        #   dstats  = raw-token counts (doc_id, doclen) — one cheap
+        #             aggregation pass, persisted (tiny)
+        #   tstats  = derived AFTER the build from the written blocks
+        #             (df(term) = Σ n over its block rows) — a free
+        #             byproduct of the commit read-back
+        # Caching postings instead costs a multi-GB materialization whose
+        # write bandwidth is serial at any executor count (measured: it
+        # capped scaling efficiency at ~0.4 before this change).
+        from .tokenize import tokenize
+
+        raw_tokens = tokenize(corpus_ids)
+        dstats = doc_stats(raw_tokens).persist()
+        t0 = time.perf_counter()
         N, avgdl = corpus_stats(dstats)
+        phase_t["doc_stats"] = time.perf_counter() - t0
 
         if pending:
+            from .index import doc_postings
+            from .tokenize import stem_vocab
+
+            vocab = stem_vocab(raw_tokens)
+            stemmed = (
+                raw_tokens.join(F.broadcast(vocab), "term")
+                .where(F.col("stem") != F.col("term"))
+                .select("doc_id", F.col("stem").alias("term"), "pos")
+            )
+            postings = doc_postings(raw_tokens.unionByName(stemmed))
+            # doclen side of the enrichment join: broadcast while the doc
+            # count allows (a doc_id row is ~16 bytes — 5M docs ≈ 80 MB),
+            # else fall back to a shuffle join. At 10^12 files the block
+            # layout itself removes this join from the QUERY path (doclen
+            # is baked into dl_bytes); this join only runs at build time.
+            dstats_side = F.broadcast(dstats) if N <= 5_000_000 else dstats
             enriched = with_bucket(
-                with_shard(postings.join(dstats, "doc_id"), n_shards),
+                with_shard(postings.join(dstats_side, "doc_id"), n_shards),
                 self.n_buckets,
             )
             waves = [
@@ -206,11 +234,11 @@ class IndexSink:
             if len(waves) > 1:
                 enriched = enriched.persist()
                 enriched.count()
+            t0 = time.perf_counter()
             for wi, wave in enumerate(waves):
                 if fail_after_waves is not None and wi >= fail_after_waves:
                     enriched.unpersist()
                     dstats.unpersist()
-                    postings.unpersist()
                     return {"status": "failed_injected", "waves_done": wi}
                 t0 = time.perf_counter()
                 wave_df = enriched.where(F.col("bucket").isin(wave))
@@ -228,15 +256,21 @@ class IndexSink:
                 tmp = os.path.join(self.root, f"_tmp_wave_{wi}")
                 shutil.rmtree(tmp, ignore_errors=True)
                 # Cluster the (already compressed, small) block rows by
-                # bucket and term-sort each file: one file per bucket with
-                # tight term min/max row-group stats, so a query's
-                # term-isin predicate prunes at both the directory level
-                # (bucket) and the row-group level (term). Without this,
-                # every wave task leaves a shard file in every bucket —
-                # n_tasks × n_buckets small files, death at scale.
-                encoded = encoded.repartition(len(wave), "bucket").sortWithinPartitions(
-                    "bucket", "term", "shard", "block_id"
-                )
+                # (bucket, shard-group) and term-sort each file: ≤4
+                # term-sorted files per bucket with tight term min/max
+                # row-group stats, so a query's term-isin predicate prunes
+                # at the directory level (bucket) and the row-group level
+                # (term). Without clustering, every wave task leaves a
+                # shard file in every bucket — n_tasks × n_buckets small
+                # files, death at scale; with only n_wave partitions the
+                # write stage's parallelism collapses to the wave size
+                # (measured straggler tail at 16 buckets / 16 cores).
+                files_per_bucket = 4
+                encoded = encoded.repartition(
+                    len(wave) * files_per_bucket,
+                    "bucket",
+                    F.pmod(F.col("shard"), files_per_bucket),
+                ).sortWithinPartitions("bucket", "term", "shard", "block_id")
                 encoded.write.partitionBy("bucket").mode("overwrite").parquet(tmp)
                 written = spark.read.parquet(tmp)
                 stats = _bucket_lineage(written)
@@ -271,12 +305,18 @@ class IndexSink:
                     os.replace(mp + ".tmp", mp)  # manifest write is the commit
                 shutil.rmtree(tmp, ignore_errors=True)
             enriched.unpersist()
+            phase_t["encode_commit"] = time.perf_counter() - t0
 
-        # side tables + meta are cheap; (re)written last, unconditionally
+        # side tables + meta are cheap; (re)written last, unconditionally.
+        # tstats (term → df) is a free byproduct of the committed blocks:
+        # each block row covers n postings = n distinct docs for its term.
+        t0 = time.perf_counter()
+        blocks_now = spark.read.parquet(blocks_root)
+        tstats = blocks_now.groupBy("term").agg(F.sum("n").cast("long").alias("df"))
         tstats.write.mode("overwrite").parquet(os.path.join(self.root, "tstats"))
         dstats.write.mode("overwrite").parquet(os.path.join(self.root, "dstats"))
+        phase_t["side_tables"] = time.perf_counter() - t0
         dstats.unpersist()
-        postings.unpersist()
         meta = {
             "N": N,
             "avgdl": avgdl,
@@ -288,6 +328,7 @@ class IndexSink:
             "built_buckets": self.n_buckets,
             "wall_s_this_run": round(time.perf_counter() - t_start, 3),
             "resumed_buckets": len(done),
+            "phase_timings_s": {k: round(v, 2) for k, v in phase_t.items()},
         }
         with open(os.path.join(self.root, "meta.json.tmp"), "w") as f:
             json.dump(meta, f)

@@ -1,0 +1,55 @@
+"""Smoke the spark-submit entry path (tools/submit_index_build.py) and
+the --py-files packager: the job must build a committed index from CLI
+args using an ambient SparkSession, and the zip must import standalone."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import subprocess
+import sys
+import zipfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_submit_index_build_cli(spark, corpus, tmp_path):
+    corpus_path = str(tmp_path / "corpus")
+    out = str(tmp_path / "idx")
+    corpus.select("repo", "path", "commit", "lang", "content").write.parquet(corpus_path)
+
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    try:
+        import submit_index_build
+
+        # getOrCreate() inside main() resolves to the test session —
+        # exactly how spark-submit hands the job its session
+        with __import__("pytest").raises(SystemExit) as ei:
+            submit_index_build.main(
+                ["--corpus", corpus_path, "--out", out, "--buckets", "4",
+                 "--buckets-per-wave", "4"]
+            )
+        assert ei.value.code == 0
+    finally:
+        sys.path.pop(0)
+    assert os.path.exists(os.path.join(out, "meta.json"))
+    blocks = spark.read.parquet(os.path.join(out, "blocks"))
+    assert blocks.count() > 0
+    shutil.rmtree(out, ignore_errors=True)
+
+
+def test_make_pyfiles_zip(tmp_path):
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "make_pyfiles.py")],
+        capture_output=True,
+        text=True,
+        cwd=REPO,
+        timeout=60,
+    )
+    assert out.returncode == 0, out.stderr
+    zip_path = out.stdout.strip().splitlines()[-1]
+    assert zipfile.is_zipfile(zip_path)
+    names = zipfile.ZipFile(zip_path).namelist()
+    assert "search_engine_spark/sink.py" in names
+    assert "search_engine_spark/ops/dedup.py" in names
+    assert not any("__pycache__" in n for n in names)

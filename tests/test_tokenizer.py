@@ -69,3 +69,22 @@ def _group(rows):
     for r in rows:
         g[r["doc_id"]].append(r)
     return g.items()
+
+
+def test_doc_stats_from_postings_equals_raw_count(spark, corpus):
+    """doclen recovered as max position over combined (raw+stem) postings
+    must equal the raw-token count — the identity doc_stats_from_postings
+    relies on (stemmed rows copy raw positions, never extend them)."""
+    from search_engine_spark.index import (
+        build_index_frames,
+        doc_stats,
+        doc_stats_from_postings,
+    )
+    from search_engine_spark.tokenize import tokenize
+
+    tokens, postings, dstats, tstats = build_index_frames(corpus)
+    via_postings = {
+        r["doc_id"]: r["doclen"] for r in doc_stats_from_postings(postings).collect()
+    }
+    via_raw = {r["doc_id"]: r["doclen"] for r in doc_stats(tokenize(corpus)).collect()}
+    assert via_postings == via_raw

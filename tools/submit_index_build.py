@@ -1,0 +1,59 @@
+"""Cluster entry point for the index build — the job you hand to
+``spark-submit`` (north_rule: "run via spark-submit --py-files"):
+
+    python tools/make_pyfiles.py                      # → dist/engine.zip
+    spark-submit --py-files dist/engine.zip \\
+        tools/submit_index_build.py \\
+        --corpus s3://bucket/corpus-parquet \\
+        --out    s3://bucket/index-root \\
+        --buckets 1024 --shards 4096 --buckets-per-wave 32
+
+On a cluster the session comes from spark-submit's own conf
+(master/executors/memory are cluster-manager concerns); this script only
+ever calls ``SparkSession.builder.getOrCreate()``. Locally (no master
+set) it falls back to local[*] so the script is smoke-testable.
+
+Resume is automatic: re-submitting with the same ``--out`` skips every
+bucket already committed in the manifest (sink.py protocol).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import SparkSession
+
+
+def main(argv: list[str] | None = None) -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--corpus", required=True, help="input parquet/Iceberg path")
+    p.add_argument("--out", required=True, help="index root (sink layout)")
+    p.add_argument("--buckets", type=int, default=None, help="term buckets (commit units)")
+    p.add_argument("--shards", type=int, default=None, help="doc shards (skew salt)")
+    p.add_argument("--buckets-per-wave", type=int, default=8)
+    args = p.parse_args(argv)
+
+    from search_engine_spark import constants as C
+    from search_engine_spark.sink import IndexSink
+
+    preexisting = SparkSession.getActiveSession() is not None
+    spark = SparkSession.builder.appName("search_engine_spark.index_build").getOrCreate()
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+    corpus = spark.read.parquet(args.corpus)
+    sink = IndexSink(args.out, n_buckets=args.buckets or C.N_TERM_BUCKETS)
+    res = sink.build(
+        corpus,
+        buckets_per_wave=args.buckets_per_wave,
+        n_shards=args.shards or C.N_DOC_SHARDS,
+    )
+    print(json.dumps(res))
+    if not preexisting:  # under spark-submit we own the session
+        spark.stop()
+    sys.exit(0 if res["status"] == "committed" else 1)
+
+
+if __name__ == "__main__":
+    main()
