@@ -559,6 +559,22 @@ def q_bm25_conjunctive(spark, sf_dir):
     return top.select("doc_id", F.round("score", 6).alias("score"))
 
 
+def q_phrase_match(spark, sf_dir):
+    # positional phrase query: docs where "merge" is immediately followed
+    # by "scan" — exploits the positions the reference stores
+    # (Indexer.java:252-283) but its rankers never use; formulated as a
+    # positional self-join (p2 = p1 + 1) on the token stream
+    toks = _doc_tokens(spark, sf_dir)
+    a = toks.where(F.col("term") == "merge").select("doc_id", F.col("pos").alias("p1"))
+    b = toks.where(F.col("term") == "scan").select("doc_id", F.col("pos").alias("p2"))
+    return (
+        a.join(b, "doc_id")
+        .where(F.col("p2") == F.col("p1") + 1)
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_occurrences"), F.min("p1").alias("first_pos"))
+    )
+
+
 def q_sample_hash(spark, sf_dir):
     # deterministic ~5% Bernoulli sample via content hash — the
     # reproducible twin of FlameRDD.sample (FlameRDD.java:114), which is
@@ -636,6 +652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_hash": q_sample_hash,
         "url_index": q_url_index,
         "bm25_conjunctive": q_bm25_conjunctive,
+        "phrase_match": q_phrase_match,
     }
 
 
@@ -876,5 +893,12 @@ def oracle_sql() -> dict[str, str]:
               JOIN dstats d USING (doc_id) JOIN tstats t USING (term) CROSS JOIN cstats c)
             SELECT doc_id, ROUND(SUM(w), 6) AS score FROM scored
             GROUP BY doc_id ORDER BY SUM(w) DESC, doc_id ASC LIMIT {C.TOP_K}
+        """,
+        "phrase_match": f"""
+            WITH {_TOKS_CTE}
+            SELECT a.doc_id, COUNT(*)::BIGINT AS n_occurrences, MIN(a.pos)::INT AS first_pos
+            FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+            WHERE a.term = 'merge' AND b.term = 'scan'
+            GROUP BY a.doc_id
         """,
     }

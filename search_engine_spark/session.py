@@ -52,6 +52,10 @@ def build_session(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # zstd: ~30% smaller block files than snappy for varbyte payloads;
+        # compression CPU is parallel, disk bandwidth is the shared
+        # resource that is not (single host here, per-node on a cluster)
+        .config("spark.sql.parquet.compression.codec", "zstd")
     )
     if executors is not None:
         repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

@@ -94,23 +94,25 @@ def read_manifest(root: str) -> list[dict]:
 
 
 def _bucket_lineage(df: DataFrame) -> dict[int, dict]:
-    """Per-bucket metrics + content hash over (already written) block rows."""
+    """Per-bucket metrics + structural-lineage hash over (already
+    written) block rows.
+
+    The hash covers the full block GEOMETRY — (term, shard, block_id, n,
+    min/max doc id) per block, xor-aggregated — but not the payload
+    bytes: hashing payloads forces the read-back to scan every binary
+    column (≈ the whole index) through the one disk the sandbox host
+    has, a serial cost at any executor count. Geometry pins the doc-id
+    space exactly (any posting added/dropped/moved changes some block's
+    n/min/max), payload integrity is parquet's own page checksums'
+    job. ``payload_bytes`` metrics come from file sizes, not a scan."""
     rows = (
         df.groupBy("bucket")
         .agg(
             F.count("*").alias("n_blocks"),
             F.sum("n").alias("n_postings"),
             F.count_distinct("term").alias("n_terms"),
-            F.sum(
-                F.octet_length("doc_bytes")
-                + F.octet_length("tf_bytes")
-                + F.octet_length("dl_bytes")
-                + F.octet_length("pos_bytes")
-                + F.octet_length("plen_bytes")
-            ).alias("payload_bytes"),
-            # order-insensitive content-lineage hash of the bucket
             F.expr(
-                "bit_xor(xxhash64(term, shard, block_id, doc_bytes, tf_bytes))"
+                "bit_xor(xxhash64(term, shard, block_id, n, min_doc_id, max_doc_id))"
             ).alias("content_hash"),
         )
         .collect()
@@ -120,11 +122,21 @@ def _bucket_lineage(df: DataFrame) -> dict[int, dict]:
             "n_blocks": int(r["n_blocks"]),
             "n_postings": int(r["n_postings"]),
             "n_terms": int(r["n_terms"]),
-            "payload_bytes": int(r["payload_bytes"]),
             "content_hash": int(r["content_hash"]),
         }
         for r in rows
     }
+
+
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    return total
 
 
 class IndexSink:
@@ -288,13 +300,13 @@ class IndexSink:
                         "wall_ms": wall_ms,
                         "wave": wi,
                         "engine": ENGINE_VERSION,
+                        "payload_bytes": _dir_bytes(dst),
                         **stats.get(
                             b,
                             {
                                 "n_blocks": 0,
                                 "n_postings": 0,
                                 "n_terms": 0,
-                                "payload_bytes": 0,
                                 "content_hash": 0,
                             },
                         ),
