@@ -56,6 +56,9 @@ def build_session(
         # compression CPU is parallel, disk bandwidth is the shared
         # resource that is not (single host here, per-node on a cluster)
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # same trade for shuffle/spill blocks: spend parallel CPU to save
+        # serial disk bandwidth (the scaling bottleneck at wide layouts)
+        .config("spark.io.compression.codec", "zstd")
     )
     if executors is not None:
         repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
