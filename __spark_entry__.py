@@ -38,15 +38,17 @@ _BM25_TERMS_SQL = ",".join(f"'{t}'" for t in BM25_TERMS)
 
 # Shared DuckDB CTE: tokenizer semantics identical to
 # search_engine_spark.tokenize.tokenize (Indexer.java:129-169 semantics).
+# length/skip filters applied ON THE ARRAY (before unnest) so positions
+# are contiguous 1..n over surviving tokens — mirrors tokenize._token_array
 _TOKS_CTE = f"""
 toks AS (
-  SELECT doc_id, term, pos FROM (
-    SELECT doc_id, unnest(arr) AS term, generate_subscripts(arr, 1) AS pos
-    FROM (SELECT doc_id,
-                 list_filter(regexp_split_to_array(lower(substr(text, 1, {C.MAX_PAGE_LEN})),
-                                                   '[^a-z0-9]+'), x -> x <> '') AS arr
-          FROM documents)
-  ) WHERE length(term) <= {C.MAX_WORD_LEN} AND term NOT IN ({_SKIPS_SQL})
+  SELECT doc_id, unnest(arr) AS term, generate_subscripts(arr, 1) AS pos
+  FROM (SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(substr(text, 1, {C.MAX_PAGE_LEN})),
+                                                 '[^a-z0-9]+'),
+                           x -> x <> '' AND length(x) <= {C.MAX_WORD_LEN}
+                                AND NOT list_contains([{_SKIPS_SQL}], x)) AS arr
+        FROM documents)
 )"""
 
 _POSTINGS_CTE = _TOKS_CTE + """,

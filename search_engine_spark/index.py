@@ -46,19 +46,39 @@ def doc_postings(tokens: DataFrame) -> DataFrame:
 
 
 def doc_stats(tokens: DataFrame) -> DataFrame:
-    """(doc_id) → doclen = number of surviving token occurrences."""
+    """(doc_id) → doclen = number of surviving token occurrences.
+    NOTE: a doc whose tokens are ALL filtered has no token rows and drops
+    out here; prefer :func:`doc_stats_direct` when the corpus frame is at
+    hand — it is narrow (no shuffle) and keeps empty docs with doclen 0,
+    matching the Python oracle's N/avgdl accounting (oracle.py)."""
     return tokens.groupBy("doc_id").agg(F.count("*").cast("int").alias("doclen"))
+
+
+def doc_stats_direct(
+    corpus_with_ids: DataFrame, content_col: str = "content", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id) → doclen computed as size(filtered token array): one
+    NARROW projection — no explode, no shuffle — and docs whose tokens are
+    all filtered (empty/whitespace files) survive with doclen 0, so N and
+    avgdl agree with the oracle's whole-corpus accounting. This is the
+    scale path for build-time corpus stats."""
+    from .tokenize import _token_array
+
+    return corpus_with_ids.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(_token_array(F.col(content_col))).cast("int").alias("doclen"),
+    )
 
 
 def doc_stats_from_postings(postings: DataFrame) -> DataFrame:
     """doclen recovered from combined (raw+stem) postings, avoiding a
-    second tokenize pass: positions are 1-based over the RAW surviving
-    token stream and stemmed rows copy raw positions, so the global max
-    position in a document IS its raw token count. Equality with
-    doc_stats(raw_tokens) is asserted in tests/test_tokenizer.py.
-
-    This matters at scale: doc_stats(raw_tokens) re-scans the corpus,
-    while this derives from the (cached / shuffle-reused) postings."""
+    second corpus scan: positions are contiguous 1..n over the RAW
+    surviving token stream (filters applied before posexplode,
+    tokenize._token_array) and stemmed rows copy raw positions, so the
+    global max position in a document IS its raw token count. Equality
+    with doc_stats(raw_tokens) is asserted in tests/test_tokenizer.py.
+    Docs with zero surviving tokens have no postings and are absent here —
+    callers owning the corpus frame should use doc_stats_direct."""
     return postings.groupBy("doc_id").agg(
         F.max(F.element_at("positions", -1)).cast("int").alias("doclen")
     )
@@ -256,9 +276,9 @@ def build_index_frames(corpus_with_ids: DataFrame):
     )
     tokens = raw_tokens.unionByName(stemmed)
     postings = doc_postings(tokens)
-    # derived from postings (not raw_tokens) so that when the caller
-    # persists postings, doc stats / term stats / block encode all reuse
-    # that one shuffle output instead of re-tokenizing the corpus
-    dstats = doc_stats_from_postings(postings)
+    # narrow size()-projection over the corpus: keeps empty docs (doclen
+    # 0) in N/avgdl and costs no shuffle — cheaper than deriving from
+    # postings and correct where that is not (all-tokens-filtered docs)
+    dstats = doc_stats_direct(corpus_with_ids)
     tstats = term_stats(postings)
     return tokens, postings, dstats, tstats

@@ -51,7 +51,7 @@ from .index import (
     INDEX_SCHEMA,
     _encoder_stream,
     corpus_stats,
-    doc_stats,
+    doc_stats_direct,
     with_shard,
 )
 
@@ -199,8 +199,9 @@ class IndexSink:
         # I/O-lean dataflow: the heavy (positions-bearing) postings frame
         # is NEVER cached — it flows straight from tokenize into the
         # encoder shuffle exactly once. Stats come from two slim frames:
-        #   dstats  = raw-token counts (doc_id, doclen) — one cheap
-        #             aggregation pass, persisted (tiny)
+        #   dstats  = doclen via size(filtered token array): one NARROW
+        #             projection (no explode, no shuffle), persisted
+        #             (tiny); empty docs kept with doclen 0
         #   tstats  = derived AFTER the build from the written blocks
         #             (df(term) = Σ n over its block rows) — a free
         #             byproduct of the commit read-back
@@ -209,8 +210,7 @@ class IndexSink:
         # capped scaling efficiency at ~0.4 before this change).
         from .tokenize import tokenize
 
-        raw_tokens = tokenize(corpus_ids)
-        dstats = doc_stats(raw_tokens).persist()
+        dstats = doc_stats_direct(corpus_ids).persist()
         t0 = time.perf_counter()
         N, avgdl = corpus_stats(dstats)
         phase_t["doc_stats"] = time.perf_counter() - t0
@@ -219,6 +219,7 @@ class IndexSink:
             from .index import doc_postings
             from .tokenize import stem_vocab
 
+            raw_tokens = tokenize(corpus_ids)
             vocab = stem_vocab(raw_tokens)
             stemmed = (
                 raw_tokens.join(F.broadcast(vocab), "term")

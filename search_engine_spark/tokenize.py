@@ -27,26 +27,31 @@ from . import constants as C
 from .stemmer import porter_stem
 
 
-def _token_array(content_col):
-    norm = F.lower(F.substring(content_col, 1, C.MAX_PAGE_LEN))
+def _token_array(content_col, truncate: bool = True):
+    """Filtered token array: empties, overlong tokens and skip-words are
+    removed ON THE ARRAY (before any explode), so downstream positions are
+    contiguous 1..n over the SURVIVING stream — doclen == max position ==
+    count, the identity doc_stats_from_postings relies on."""
+    norm = F.lower(F.substring(content_col, 1, C.MAX_PAGE_LEN)) if truncate else F.lower(content_col)
     toks = F.split(norm, C.TOKEN_SPLIT_RE)
-    return F.filter(toks, lambda t: t != F.lit(""))
+    skips = F.array(*[F.lit(w) for w in sorted(C.SKIP_WORDS)])
+    return F.filter(
+        toks,
+        lambda t: (t != F.lit(""))
+        & (F.length(t) <= C.MAX_WORD_LEN)
+        & ~F.array_contains(skips, t),
+    )
 
 
 def tokenize(corpus: DataFrame, content_col: str = "content", id_col: str = "doc_id") -> DataFrame:
     """corpus[id_col, content_col, ...] → (doc_id, term, pos) one row per
-    surviving token occurrence. Narrow (no shuffle): scan → project →
-    generate, all inside one codegen stage."""
+    surviving token occurrence, pos contiguous 1..n over survivors.
+    Narrow (no shuffle): scan → project → generate, all inside one
+    codegen stage."""
     toks = _token_array(F.col(content_col))
-    out = (
-        corpus.select(F.col(id_col).alias("doc_id"), F.posexplode(toks).alias("pos0", "term"))
-        .where(
-            (F.length("term") <= C.MAX_WORD_LEN)
-            & ~F.col("term").isin(*sorted(C.SKIP_WORDS))
-        )
-        .select("doc_id", "term", (F.col("pos0") + 1).cast("int").alias("pos"))
-    )
-    return out
+    return corpus.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(toks).alias("pos0", "term")
+    ).select("doc_id", "term", (F.col("pos0") + 1).cast("int").alias("pos"))
 
 
 @F.pandas_udf(T.StringType())

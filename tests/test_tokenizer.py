@@ -18,10 +18,13 @@ GOLDEN = [
     ("Def foo(bar): return bar+1", [("def", 1), ("foo", 2), ("bar", 3), ("return", 4), ("bar", 5), ("1", 6)]),
     # leading/trailing punct trimmed by the split itself
     ("...hello---world!!", [("hello", 1), ("world", 2)]),
-    # skip set dropped but positions keep counting the surviving stream
-    ("visit www example com now", [("visit", 1), ("example", 3), ("now", 5)]),
+    # skip set dropped; positions are contiguous over the SURVIVING stream
+    ("visit www example com now", [("visit", 1), ("example", 2), ("now", 3)]),
     # over-long token dropped (>20 chars)
-    ("ok " + "x" * 21 + " fine", [("ok", 1), ("fine", 3)]),
+    ("ok " + "x" * 21 + " fine", [("ok", 1), ("fine", 2)]),
+    # ADVICE.md regression: skip-words must not leave position gaps, or
+    # doclen-from-max-position inflates ('http foo bar' → doclen 3, not 2)
+    ("http foo bar", [("foo", 1), ("bar", 2)]),
     # empty content
     ("", []),
     ("!!!", []),
