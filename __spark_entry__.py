@@ -23,7 +23,13 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 from search_engine_spark import constants as C
-from search_engine_spark.index import corpus_stats, doc_postings, doc_stats, term_stats
+from search_engine_spark.index import (
+    corpus_stats,
+    doc_postings,
+    doc_stats,
+    doc_stats_direct,
+    term_stats,
+)
 from search_engine_spark.query import bm25_score_terms
 from search_engine_spark.tokenize import tokenize
 
@@ -53,6 +59,22 @@ toks AS (
 
 _POSTINGS_CTE = _TOKS_CTE + """,
 postings AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY doc_id, term)"""
+
+# URL-injected token CTE (source tokens prepended to text, then the same
+# array-level filters) + per-doc raw URL-component set for the uf flag.
+_URL_TOKS_CTE = f"""
+uarr AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(substr(source, 1, {C.MAX_URL_LEN}) || ' ' ||
+                                                 substr(text, 1, {C.MAX_PAGE_LEN})),
+                                           '[^a-z0-9]+'),
+                     x -> x <> '' AND length(x) <= {C.MAX_WORD_LEN}
+                          AND NOT list_contains([{_SKIPS_SQL}], x)) AS arr,
+         list_filter(regexp_split_to_array(lower(substr(source, 1, {C.MAX_URL_LEN})), '[^a-z0-9]+'),
+                     x -> x <> '' AND length(x) <= {C.MAX_WORD_LEN}
+                          AND NOT list_contains([{_SKIPS_SQL}], x)) AS comps
+  FROM documents),
+utoks AS (SELECT doc_id, unnest(arr) AS term, generate_subscripts(arr, 1) AS pos FROM uarr)"""
 
 # Planted-duplicate fixture: must match _docs_with_dups token-for-token.
 _DUPS_CTE = r"""dd AS (
@@ -587,6 +609,56 @@ def q_sample_hash(spark, sf_dir):
     return li.where(gate).select("l_orderkey", "l_linenumber", "l_quantity")
 
 
+def q_tokenize_url_inject(spark, sf_dir):
+    # URL-token injection (Indexer.java:236-238): source tokens prepended
+    # to the text stream; positions contiguous over the combined survivors
+    from search_engine_spark.tokenize import tokenize_url
+
+    d = _read(spark, sf_dir, "documents")
+    return tokenize_url(d, ("source",), "text").select(
+        "doc_id", "term", F.col("pos").cast("long").alias("pos")
+    )
+
+
+# query-term set for the URL-bonus entry: 'src42' exists ONLY as a URL
+# token (doc 42's source) — retrievable solely via injection, and bonused
+URL_BONUS_TERMS = ["join", "scan", "src42"]
+
+
+def q_bm25_url_bonus(spark, sf_dir):
+    # BM25 with the reference's URL bonus (Search.java:98,149-163):
+    # tf_eff = tf + 0.1 when the doc's URL tokens contain the term. The
+    # flag is max(is_url) inside the postings aggregation (zero extra
+    # shuffles); raw channel only here for SQL parity — the stemmed set
+    # is gated by tests/test_rank_identity.py::test_rank_identity_url.
+    from search_engine_spark.tokenize import tokenize_url
+
+    d = _read(spark, sf_dir, "documents")
+    postings = doc_postings(tokenize_url(d, ("source",), "text", with_flag=True))
+    dstats = doc_stats_direct(d, "text", "doc_id", ("source",))
+    tstats = term_stats(postings)
+    N, avgdl = corpus_stats(dstats)
+    top = bm25_score_terms(postings, dstats, tstats, N, avgdl, URL_BONUS_TERMS, 1.0, C.TOP_K)
+    return top.select("doc_id", F.round("score", 6).alias("score"))
+
+
+def q_search_results(spark, sf_dir):
+    # result assembly (Search.java:325-345): ranked ids join back to the
+    # source table for display columns; broadcast the tiny ranked side
+    toks = _doc_tokens(spark, sf_dir)
+    postings = doc_postings(toks)
+    dstats = doc_stats(toks)
+    tstats = term_stats(postings)
+    N, avgdl = corpus_stats(dstats)
+    top = bm25_score_terms(postings, dstats, tstats, N, avgdl, BM25_TERMS, 1.0, 25)
+    w = W.orderBy(F.desc("score"), F.asc("doc_id"))
+    ranked = top.withColumn("rank", F.row_number().over(w).cast("long"))
+    d = _read(spark, sf_dir, "documents").select("doc_id", "source", "lang")
+    return d.join(F.broadcast(ranked), "doc_id").select(
+        "rank", "doc_id", F.round("score", 6).alias("score"), "source", "lang"
+    )
+
+
 def q_url_index(spark, sf_dir):
     # URL-index analog (URLIndexer.java:108-172): tokens of the document
     # "location" (source column here; repo/path for the code corpus) →
@@ -653,6 +725,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "sample_hash": q_sample_hash,
         "url_index": q_url_index,
+        "tokenize_url_inject": q_tokenize_url_inject,
+        "bm25_url_bonus": q_bm25_url_bonus,
+        "search_results": q_search_results,
         "bm25_conjunctive": q_bm25_conjunctive,
         "phrase_match": q_phrase_match,
     }
@@ -866,6 +941,52 @@ def oracle_sql() -> dict[str, str]:
         "sample_hash": """
             SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
             WHERE substr(md5(l_orderkey || '|' || l_linenumber), 1, 2) < '0d'
+        """,
+        "tokenize_url_inject": f"WITH {_URL_TOKS_CTE} SELECT doc_id, term, pos::BIGINT AS pos FROM utoks",
+        "bm25_url_bonus": f"""
+            WITH {_URL_TOKS_CTE},
+            postings AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM utoks GROUP BY doc_id, term),
+            pu AS (SELECT p.doc_id, p.term, p.tf,
+                          CASE WHEN list_contains(u.comps, p.term) THEN 1 ELSE 0 END AS uf
+                   FROM postings p JOIN uarr u USING (doc_id)),
+            dstats AS (SELECT doc_id, len(arr)::DOUBLE AS doclen FROM uarr),
+            cstats AS (SELECT count(*)::DOUBLE AS n, avg(doclen) AS avgdl FROM dstats),
+            tstats AS (SELECT term, count(*)::DOUBLE AS df FROM pu GROUP BY term),
+            scored AS (
+              SELECT p.doc_id,
+                     ln(1.0 + (c.n - t.df + 0.5) / (t.df + 0.5))
+                       * ((p.tf + {C.URL_BONUS} * p.uf) * ({k1} + 1.0))
+                       / ((p.tf + {C.URL_BONUS} * p.uf)
+                          + {k1} * (1.0 - {b} + {b} * d.doclen / c.avgdl)) AS w
+              FROM pu p
+              JOIN dstats d USING (doc_id) JOIN tstats t USING (term) CROSS JOIN cstats c
+              WHERE p.term IN ({",".join(f"'{t}'" for t in URL_BONUS_TERMS)})
+            )
+            SELECT doc_id, ROUND(SUM(w), 6) AS score FROM scored
+            GROUP BY doc_id ORDER BY SUM(w) DESC, doc_id ASC LIMIT {C.TOP_K}
+        """,
+        "search_results": f"""
+            WITH {_POSTINGS_CTE},
+            dstats AS (SELECT doc_id, count(*)::DOUBLE AS doclen FROM toks GROUP BY doc_id),
+            cstats AS (SELECT count(*)::DOUBLE AS n, avg(doclen) AS avgdl FROM dstats),
+            tstats AS (SELECT term, count(*)::DOUBLE AS df FROM postings GROUP BY term),
+            scored AS (
+              SELECT p.doc_id,
+                     ln(1.0 + (c.n - t.df + 0.5) / (t.df + 0.5))
+                       * (p.tf * ({k1} + 1.0))
+                       / (p.tf + {k1} * (1.0 - {b} + {b} * d.doclen / c.avgdl)) AS w
+              FROM postings p
+              JOIN dstats d USING (doc_id) JOIN tstats t USING (term) CROSS JOIN cstats c
+              WHERE p.term IN ({terms_sql})
+            ),
+            ranked AS (
+              SELECT doc_id, SUM(w) AS s,
+                     ROW_NUMBER() OVER (ORDER BY SUM(w) DESC, doc_id ASC)::BIGINT AS rank
+              FROM scored GROUP BY doc_id
+              ORDER BY s DESC, doc_id ASC LIMIT 25
+            )
+            SELECT r.rank, r.doc_id, ROUND(r.s, 6) AS score, d.source, d.lang
+            FROM ranked r JOIN documents d USING (doc_id)
         """,
         "url_index": """
             SELECT term, COUNT(*)::BIGINT AS n_docs,

@@ -37,12 +37,18 @@ from .codec import varbyte_encode_with_lengths
 
 
 def doc_postings(tokens: DataFrame) -> DataFrame:
-    """(doc_id, term, pos) → (doc_id, term, tf, positions). One shuffle on
-    (doc_id, term) with map-side partial aggregation."""
-    return tokens.groupBy("doc_id", "term").agg(
+    """(doc_id, term, pos[, is_url]) → (doc_id, term, tf, positions
+    [, uf]). One shuffle on (doc_id, term) with map-side partial
+    aggregation. When tokens carry is_url (tokenize_url with_flag), the
+    URL-bonus flag uf = max(is_url) rides the SAME aggregation — no extra
+    pass or join (Search.java:98 bonus, precomputed at build time)."""
+    aggs = [
         F.count("*").cast("int").alias("tf"),
         F.sort_array(F.collect_list("pos")).alias("positions"),
-    )
+    ]
+    if "is_url" in tokens.columns:
+        aggs.append(F.max("is_url").cast("int").alias("uf"))
+    return tokens.groupBy("doc_id", "term").agg(*aggs)
 
 
 def doc_stats(tokens: DataFrame) -> DataFrame:
@@ -55,19 +61,29 @@ def doc_stats(tokens: DataFrame) -> DataFrame:
 
 
 def doc_stats_direct(
-    corpus_with_ids: DataFrame, content_col: str = "content", id_col: str = "doc_id"
+    corpus_with_ids: DataFrame,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    url_cols: tuple[str, ...] | None = None,
 ) -> DataFrame:
     """(doc_id) → doclen computed as size(filtered token array): one
     NARROW projection — no explode, no shuffle — and docs whose tokens are
     all filtered (empty/whitespace files) survive with doclen 0, so N and
     avgdl agree with the oracle's whole-corpus accounting. This is the
-    scale path for build-time corpus stats."""
-    from .tokenize import _token_array
+    scale path for build-time corpus stats. With ``url_cols``, doclen
+    counts the URL-injected stream (reference Indexer.java:236-238)."""
+    from .tokenize import _token_array, full_text_col
 
-    return corpus_with_ids.select(
-        F.col(id_col).alias("doc_id"),
-        F.size(_token_array(F.col(content_col))).cast("int").alias("doclen"),
+    arr = (
+        _token_array(full_text_col(content_col, url_cols), truncate=False)
+        if url_cols
+        else _token_array(F.col(content_col))
     )
+    return corpus_with_ids.select(
+        F.col(id_col).alias("doc_id"), F.size(arr).cast("int").alias("doclen")
+    )
+
+
 
 
 def doc_stats_from_postings(postings: DataFrame) -> DataFrame:
@@ -102,7 +118,7 @@ def with_shard(df: DataFrame, n_shards: int = C.N_DOC_SHARDS) -> DataFrame:
 
 INDEX_SCHEMA = (
     "term string, shard int, block_id int, n int, "
-    "doc_bytes binary, tf_bytes binary, dl_bytes binary, "
+    "doc_bytes binary, tf_bytes binary, dl_bytes binary, uf_bytes binary, "
     "pos_bytes binary, plen_bytes binary, "
     "min_doc_id long, max_doc_id long, max_wtf double"
 )
@@ -127,6 +143,7 @@ def _encode_batch(pdf: pd.DataFrame, avgdl: float) -> pd.DataFrame:
     doc = pdf["doc_id"].to_numpy(dtype=np.int64)
     tfs = pdf["tf"].to_numpy(dtype=np.int64)
     dls = pdf["doclen"].to_numpy(dtype=np.int64)
+    ufs = pdf["uf"].to_numpy(dtype=np.int64)
 
     # group / block geometry
     new_group = np.ones(n_rows, dtype=bool)
@@ -159,6 +176,7 @@ def _encode_batch(pdf: pd.DataFrame, avgdl: float) -> pd.DataFrame:
     doc_bytes = sliced(deltas, block_start_idx, block_end_idx)
     tf_bytes = sliced(tfs.astype(np.uint64), block_start_idx, block_end_idx)
     dl_bytes = sliced(dls.astype(np.uint64), block_start_idx, block_end_idx)
+    uf_bytes = sliced(ufs.astype(np.uint64), block_start_idx, block_end_idx)
 
     # positions: flatten all rows once; per-position deltas reset at each
     # row (doc) boundary; per-block slices via row→flat offsets
@@ -179,9 +197,12 @@ def _encode_batch(pdf: pd.DataFrame, avgdl: float) -> pd.DataFrame:
     pos_bytes = sliced(pdeltas, row_off[block_start_idx], row_off[block_end_idx])
     plen_bytes = sliced(plens.astype(np.uint64), block_start_idx, block_end_idx)
 
-    # block-max impact metadata (idf-free BM25 tf component)
+    # block-max impact metadata (idf-free BM25 tf component); tf_eff
+    # carries the reference's URL bonus (Search.java:98) so the bound
+    # stays exact for bonus-bearing postings
     k1, b = C.BM25_K1, C.BM25_B
-    wtf = tfs * (k1 + 1.0) / (tfs + k1 * (1.0 - b + b * dls / avgdl))
+    tf_eff = tfs + C.URL_BONUS * ufs
+    wtf = tf_eff * (k1 + 1.0) / (tf_eff + k1 * (1.0 - b + b * dls / avgdl))
     max_wtf = np.maximum.reduceat(wtf, block_start_idx)
 
     return pd.DataFrame(
@@ -193,6 +214,7 @@ def _encode_batch(pdf: pd.DataFrame, avgdl: float) -> pd.DataFrame:
             "doc_bytes": doc_bytes,
             "tf_bytes": tf_bytes,
             "dl_bytes": dl_bytes,
+            "uf_bytes": uf_bytes,
             "pos_bytes": pos_bytes,
             "plen_bytes": plen_bytes,
             "min_doc_id": doc[block_start_idx],
@@ -246,6 +268,8 @@ def build_block_index(
     within-partition only (no global exchange) and the encoder is one
     numpy pass per batch.
     """
+    if "uf" not in postings.columns:
+        postings = postings.withColumn("uf", F.lit(0))
     enriched = with_shard(postings.join(dstats, "doc_id"), n_shards)
     if n_partitions:
         enriched = enriched.repartition(n_partitions, "term", "shard")
@@ -255,7 +279,9 @@ def build_block_index(
     return ordered.mapInPandas(_encoder_stream(float(avgdl)), schema=INDEX_SCHEMA)
 
 
-def build_index_frames(corpus_with_ids: DataFrame):
+def build_index_frames(
+    corpus_with_ids: DataFrame, url_cols: tuple[str, ...] | None = None
+):
     """Convenience: corpus (with doc_id) → (tokens, postings, dstats,
     tstats) lazy frames. Caller computes corpus_stats and the block index
     when needed.
@@ -264,21 +290,30 @@ def build_index_frames(corpus_with_ids: DataFrame):
     adds duplicate postings rows (Indexer.java:256 posts both forms) but
     must not inflate document length, or BM25 length normalization drifts
     from the oracle's.
-    """
-    from .tokenize import stem_vocab, tokenize
 
-    raw_tokens = tokenize(corpus_with_ids)
+    With ``url_cols``, URL tokens are injected into the stream
+    (Indexer.java:236-238) and postings carry the uf bonus flag
+    (Search.java:98) — doclen/tf/N then count the combined stream.
+    """
+    from .tokenize import stem_vocab, tokenize, tokenize_url
+
+    raw_tokens = (
+        tokenize_url(corpus_with_ids, url_cols) if url_cols else tokenize(corpus_with_ids)
+    )
     vocab = stem_vocab(raw_tokens)
+    # stem-channel rows copy raw positions AND the is_url marker, so the
+    # uf aggregation covers {component} ∪ {stem(component)}
+    extra = ["is_url"] if url_cols else []
     stemmed = (
         raw_tokens.join(F.broadcast(vocab), "term")
         .where(F.col("stem") != F.col("term"))
-        .select("doc_id", F.col("stem").alias("term"), "pos")
+        .select("doc_id", F.col("stem").alias("term"), "pos", *extra)
     )
     tokens = raw_tokens.unionByName(stemmed)
     postings = doc_postings(tokens)
     # narrow size()-projection over the corpus: keeps empty docs (doclen
     # 0) in N/avgdl and costs no shuffle — cheaper than deriving from
     # postings and correct where that is not (all-tokens-filtered docs)
-    dstats = doc_stats_direct(corpus_with_ids)
+    dstats = doc_stats_direct(corpus_with_ids, url_cols=url_cols)
     tstats = term_stats(postings)
     return tokens, postings, dstats, tstats

@@ -21,24 +21,53 @@ from .stemmer import porter_stem
 _SPLIT = re.compile(C.TOKEN_SPLIT_RE)
 
 
-def tokenize_doc(content: str) -> list[str]:
+def tokenize_doc(content: str, url: str | None = None) -> list[str]:
     """Reference tokenizer semantics (Indexer.java:129-169 adapted):
     truncate, lowercase, split on non-alnum, length/skip filters.
-    Returns the surviving raw token stream (positions are 1-based list
-    indices)."""
-    toks = [t for t in _SPLIT.split(content[: C.MAX_PAGE_LEN].lower()) if t]
+    With ``url``, URL tokens are PREPENDED to the stream (the reference
+    tokenizes host+" "+path+" "+page, Indexer.java:236-238), url
+    truncated to MAX_URL_LEN. Returns the surviving raw token stream
+    (positions are 1-based list indices)."""
+    text = content[: C.MAX_PAGE_LEN]
+    if url is not None:
+        text = url[: C.MAX_URL_LEN] + " " + text
+    toks = [t for t in _SPLIT.split(text.lower()) if t]
     return [t for t in toks if len(t) <= C.MAX_WORD_LEN and t not in C.SKIP_WORDS]
 
 
-class OracleIndex:
-    """In-memory inverted index over (doc_id, content) pairs."""
+def url_stem_set(url: str) -> frozenset[str]:
+    """URL-bonus term set: {c} ∪ {stem(c)} over the FILTERED surviving
+    url tokens (len/skip filters, MAX_URL_LEN truncation) — the engine
+    derives this set for free from max(is_url) over raw+stem posting
+    channels (tokenize.tokenize_url). Documented deviation from
+    Search.java:149-163, which stems UNfiltered components: here exact
+    raw components also qualify and skip-word cruft does not."""
+    comps = [
+        c
+        for c in _SPLIT.split(url[: C.MAX_URL_LEN].lower())
+        if c and len(c) <= C.MAX_WORD_LEN and c not in C.SKIP_WORDS
+    ]
+    return frozenset(comps) | frozenset(porter_stem(c) for c in comps)
 
-    def __init__(self, docs: list[tuple[int, str]]):
+
+class OracleIndex:
+    """In-memory inverted index over (doc_id, content) or
+    (doc_id, url, content) rows — the 3-tuple form enables reference URL
+    injection + the query-time tf bonus (Search.java:98)."""
+
+    def __init__(self, docs: list[tuple]):
         self.postings: dict[str, dict[int, int]] = defaultdict(dict)  # term -> doc -> tf
         self.doclen: dict[int, int] = {}
+        self.url_stems: dict[int, frozenset[str]] = {}
         stem_cache: dict[str, str] = {}
-        for doc_id, content in docs:
-            toks = tokenize_doc(content)
+        for row in docs:
+            if len(row) == 3:
+                doc_id, url, content = row
+                self.url_stems[doc_id] = url_stem_set(url)
+            else:
+                doc_id, content = row
+                url = None
+            toks = tokenize_doc(content, url)
             self.doclen[doc_id] = len(toks)
             counts: Counter[str] = Counter(toks)
             # stemmed channel: stems that differ from the raw token are
@@ -66,6 +95,11 @@ class OracleIndex:
             idf = bm25_idf(self.N, len(plist))
             for doc_id, tf in plist.items():
                 dl = self.doclen[doc_id]
+                # tf_eff = tf + URL_BONUS when the doc's stemmed URL
+                # components contain the term (Search.java:98,149-163)
+                us = self.url_stems.get(doc_id)
+                if us is not None and t in us:
+                    tf = tf + C.URL_BONUS * 1.0
                 # CANONICAL BM25 float64 expression (see query.py)
                 w = idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / self.avgdl)) * weight
                 scores[doc_id] = scores[doc_id] + w

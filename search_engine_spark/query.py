@@ -108,7 +108,9 @@ def bm25_score_terms(
     spark = postings.sparkSession
     if not terms:
         return spark.createDataFrame([], "doc_id long, score double")
-    q = postings.select("doc_id", "term", "tf").where(F.col("term").isin(terms))
+    if "uf" not in postings.columns:
+        postings = postings.withColumn("uf", F.lit(0))
+    q = postings.select("doc_id", "term", "tf", "uf").where(F.col("term").isin(terms))
     # idf computed driver-side with math.log so ALL paths (DataFrame,
     # block, pure-Python oracle) share bit-identical idf values — JVM
     # F.log could differ from libm by 1 ulp and break rank identity.
@@ -118,6 +120,10 @@ def bm25_score_terms(
         return spark.createDataFrame([], "doc_id long, score double")
     tdf = spark.createDataFrame(idf_rows, "term string, idf double")
     k1, b = C.BM25_K1, C.BM25_B
+    # tf_eff carries the reference's URL bonus (Search.java:98): +0.1 when
+    # the doc's stemmed URL components contain the term (uf flag baked
+    # into postings at build time). uf=0 → tf + 0.0 == tf bit-exactly.
+    tf_eff = F.col("tf") + F.lit(C.URL_BONUS) * F.col("uf")
     scored = (
         q.join(dstats, "doc_id")
         .join(F.broadcast(tdf), "term")
@@ -126,8 +132,8 @@ def bm25_score_terms(
             "term",
             (
                 F.col("idf")
-                * (F.col("tf") * (k1 + 1.0))
-                / (F.col("tf") + k1 * (1.0 - b + b * F.col("doclen") / F.lit(avgdl)))
+                * (tf_eff * (k1 + 1.0))
+                / (tf_eff + k1 * (1.0 - b + b * F.col("doclen") / F.lit(avgdl)))
                 * F.lit(weight)
             ).alias("w"),
         )
@@ -159,7 +165,9 @@ def bm25_conjunctive_topk(
     terms = sorted(set(terms))
     if not terms:
         return spark.createDataFrame([], "doc_id long, score double")
-    hits = postings.select("doc_id", "term", "tf").where(F.col("term").isin(terms))
+    if "uf" not in postings.columns:
+        postings = postings.withColumn("uf", F.lit(0))
+    hits = postings.select("doc_id", "term", "tf", "uf").where(F.col("term").isin(terms))
     full = (
         hits.groupBy("doc_id")
         .agg(F.count_distinct("term").alias("nt"))
@@ -224,7 +232,9 @@ def _score_shard_factory(idf_by_term: dict[str, float], weight: float, k: int, a
             decoded = []
             for _, r in blocks.iterrows():
                 dids = decode_doc_ids(r["doc_bytes"])
-                decoded.append((dids, r["tf_bytes"], r["dl_bytes"], float(r["max_wtf"])))
+                decoded.append(
+                    (dids, r["tf_bytes"], r["dl_bytes"], r["uf_bytes"], float(r["max_wtf"]))
+                )
                 doc_arrays.append(dids)
                 ub_arrays.append(
                     np.full(dids.size, idf_by_term[t] * float(r["max_wtf"]) * weight)
@@ -245,13 +255,17 @@ def _score_shard_factory(idf_by_term: dict[str, float], weight: float, k: int, a
                 if t not in per_term:
                     continue
                 idf = idf_by_term[t]
-                for dids, tf_b, dl_b, _mw in per_term[t]:
+                for dids, tf_b, dl_b, uf_b, _mw in per_term[t]:
                     sel = np.searchsorted(doc_set, dids)
                     sel_ok = (sel < doc_set.size) & (doc_set[np.minimum(sel, doc_set.size - 1)] == dids)
                     if not sel_ok.any():
                         continue
-                    tfs = varbyte_decode(tf_b).astype(np.float64)
                     dls = varbyte_decode(dl_b).astype(np.float64)
+                    # tf_eff = tf + URL_BONUS·uf (Search.java:98); uf=0 →
+                    # tf + 0.0 == tf bit-exactly
+                    tfs = varbyte_decode(tf_b).astype(np.float64) + C.URL_BONUS * varbyte_decode(
+                        uf_b
+                    ).astype(np.float64)
                     # CANONICAL BM25 float64 expression — must match
                     # bm25_topk_df and oracle.py token-for-token for
                     # bit-exact rank identity:

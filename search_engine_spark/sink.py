@@ -42,7 +42,7 @@ import shutil
 import time
 import zlib
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import constants as C
@@ -162,11 +162,17 @@ class IndexSink:
         buckets_per_wave: int = 8,
         fail_after_waves: int | None = None,
         n_shards: int = C.N_DOC_SHARDS,
+        url_cols: tuple[str, ...] | None = ("repo", "path"),
     ) -> dict:
         """Build (or resume) the index for ``corpus`` (raw input-hint schema:
         repo/path/commit/lang/content).  Idempotent: committed buckets are
         skipped, so re-invoking after a crash finishes the remainder and
         the final index is byte-identical to a single-shot build.
+
+        ``url_cols`` (default repo/path): URL-token injection per the
+        reference (Indexer.java:236-238 — url tokens join the stream, so
+        filenames/modules are searchable in the PRIMARY index) and the
+        per-posting uf bonus flag (Search.java:98). None disables both.
 
         ``fail_after_waves`` is a test hook simulating a mid-build crash.
         """
@@ -208,9 +214,9 @@ class IndexSink:
         # Caching postings instead costs a multi-GB materialization whose
         # write bandwidth is serial at any executor count (measured: it
         # capped scaling efficiency at ~0.4 before this change).
-        from .tokenize import tokenize
+        from .tokenize import tokenize, tokenize_url
 
-        dstats = doc_stats_direct(corpus_ids).persist()
+        dstats = doc_stats_direct(corpus_ids, url_cols=url_cols).persist()
         t0 = time.perf_counter()
         N, avgdl = corpus_stats(dstats)
         phase_t["doc_stats"] = time.perf_counter() - t0
@@ -219,14 +225,21 @@ class IndexSink:
             from .index import doc_postings
             from .tokenize import stem_vocab
 
-            raw_tokens = tokenize(corpus_ids)
+            raw_tokens = (
+                tokenize_url(corpus_ids, url_cols) if url_cols else tokenize(corpus_ids)
+            )
             vocab = stem_vocab(raw_tokens)
+            # stem rows copy raw positions and (url path) the is_url
+            # marker, so doc_postings' uf = max(is_url) flags stems too
+            extra = ["is_url"] if url_cols else []
             stemmed = (
                 raw_tokens.join(F.broadcast(vocab), "term")
                 .where(F.col("stem") != F.col("term"))
-                .select("doc_id", F.col("stem").alias("term"), "pos")
+                .select("doc_id", F.col("stem").alias("term"), "pos", *extra)
             )
             postings = doc_postings(raw_tokens.unionByName(stemmed))
+            if not url_cols:
+                postings = postings.withColumn("uf", F.lit(0))
             # doclen side of the enrichment join: broadcast while the doc
             # count allows (a doc_id row is ~16 bytes — 5M docs ≈ 80 MB),
             # else fall back to a shuffle join. At 10^12 files the block
@@ -328,6 +341,13 @@ class IndexSink:
         tstats = blocks_now.groupBy("term").agg(F.sum("n").cast("long").alias("df"))
         tstats.write.mode("overwrite").parquet(os.path.join(self.root, "tstats"))
         dstats.write.mode("overwrite").parquet(os.path.join(self.root, "dstats"))
+        # docs side table — result assembly (Search.java:325-345 joins the
+        # ranked ids back to the crawl table for url/title): every
+        # non-content column survives, keyed by doc_id
+        meta_cols = [c for c in corpus.columns if c != "content"]
+        corpus_ids.select("doc_id", *meta_cols).write.mode("overwrite").parquet(
+            os.path.join(self.root, "docs")
+        )
         phase_t["side_tables"] = time.perf_counter() - t0
         dstats.unpersist()
         meta = {
@@ -338,6 +358,7 @@ class IndexSink:
             "bm25_k1": C.BM25_K1,
             "bm25_b": C.BM25_B,
             "engine": ENGINE_VERSION,
+            "url_cols": list(url_cols) if url_cols else [],
             "built_buckets": self.n_buckets,
             "wall_s_this_run": round(time.perf_counter() - t_start, 3),
             "resumed_buckets": len(done),
@@ -361,6 +382,32 @@ class IndexSink:
         tstats = spark.read.parquet(os.path.join(self.root, "tstats"))
         dstats = spark.read.parquet(os.path.join(self.root, "dstats"))
         return blocks, tstats, dstats, meta
+
+    def docs(self, spark: SparkSession) -> DataFrame:
+        """The doc-metadata side table (doc_id + every non-content input
+        column) written at build time for result assembly."""
+        return spark.read.parquet(os.path.join(self.root, "docs"))
+
+    def search_results(self, spark: SparkSession, query: str, k: int = C.TOP_K) -> DataFrame:
+        """End-to-end search with RESULT ASSEMBLY: BM25 top-k over the
+        bucket-pruned block index, then the ranked (doc_id, score) rows
+        join back to the docs side table — the reference's final join of
+        ranked ids to the crawl table for url/title (Search.java:325-345).
+        The join is k rows vs the docs table: broadcast the TINY ranked
+        side, never shuffle the metadata table."""
+        from .query import bm25_topk_blocks, normalize_query
+
+        blocks, tstats, _dstats, meta = self.read(spark)
+        terms, _w = normalize_query(query)
+        idx = self.blocks_for_terms(spark, terms) if terms else blocks
+        topk = bm25_topk_blocks(idx, tstats, meta["N"], meta["avgdl"], query, k)
+        w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+        ranked = topk.withColumn("rank", F.row_number().over(w))
+        return (
+            self.docs(spark)
+            .join(F.broadcast(ranked), "doc_id")
+            .orderBy("rank")
+        )
 
     def blocks_for_terms(self, spark: SparkSession, terms: list[str]) -> DataFrame:
         """Partition-pruned scan: only the buckets owning ``terms`` are read

@@ -54,6 +54,61 @@ def tokenize(corpus: DataFrame, content_col: str = "content", id_col: str = "doc
     ).select("doc_id", "term", (F.col("pos0") + 1).cast("int").alias("pos"))
 
 
+def url_text_col(url_cols: tuple[str, ...]):
+    """Lowercased document 'URL' string (repo/path for the code corpus),
+    truncated to MAX_URL_LEN — the reference drops docs with longer URLs
+    (Indexer.java:230); we truncate instead of dropping (a crawler-side
+    quality gate does not apply to a curated code corpus)."""
+    return F.lower(
+        F.substring(F.concat_ws("/", *[F.col(c) for c in url_cols]), 1, C.MAX_URL_LEN)
+    )
+
+
+def full_text_col(content_col: str, url_cols: tuple[str, ...]):
+    """URL tokens PREPENDED to the (pre-truncated) page text — the
+    reference tokenizes ``host + " " + path + " " + page``
+    (Indexer.java:236-238 via parseURL at :171-194), so URL tokens get
+    positions 1..m, participate in tf, and count toward doclen."""
+    return F.concat_ws(
+        " ", url_text_col(url_cols), F.lower(F.substring(F.col(content_col), 1, C.MAX_PAGE_LEN))
+    )
+
+
+def tokenize_url(
+    corpus: DataFrame,
+    url_cols: tuple[str, ...] = ("repo", "path"),
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    with_flag: bool = True,
+) -> DataFrame:
+    """tokenize() with reference URL-token injection: the token stream is
+    url tokens then content tokens, contiguous positions over the combined
+    surviving stream. Same narrow single-stage plan as tokenize().
+
+    ``with_flag`` adds is_url ∈ {0,1}: URL tokens occupy positions 1..m
+    (m = surviving url-token count, a second narrow size() over the url
+    part), so is_url = pos ≤ m. Aggregating max(is_url) per (doc, term) —
+    with stem-channel rows COPYING raw positions — yields the URL-bonus
+    flag {c} ∪ {stem(c)} for url components c with ZERO extra shuffles or
+    scans: the 100 TB-safe form of the reference's query-time
+    url_contains set (Search.java:149-163). Deliberate deviation from the
+    reference: components are the FILTERED url tokens (len/skip filters,
+    MAX_URL_LEN truncation) and raw components qualify alongside stems —
+    exact-filename matches get the bonus, web-cruft skip-words don't."""
+    toks = _token_array(full_text_col(content_col, url_cols), truncate=False)
+    out = corpus.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(_token_array(url_text_col(url_cols), truncate=False)).alias("_m"),
+        F.posexplode(toks).alias("pos0", "term"),
+    ).select(
+        "doc_id",
+        "term",
+        (F.col("pos0") + 1).cast("int").alias("pos"),
+        *( [(F.col("pos0") < F.col("_m")).cast("int").alias("is_url")] if with_flag else [] ),
+    )
+    return out
+
+
 @F.pandas_udf(T.StringType())
 def _stem_udf(terms: pd.Series) -> pd.Series:
     return terms.map(porter_stem)

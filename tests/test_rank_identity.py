@@ -7,7 +7,7 @@ pruning). k=200 per Search.java:25; tie-break (score DESC, doc_id ASC)."""
 import pytest
 
 from search_engine_spark import constants as C
-from search_engine_spark.corpus import reference_queries
+from search_engine_spark.corpus import reference_queries, with_doc_id
 from search_engine_spark.index import build_block_index, build_index_frames, corpus_stats
 from search_engine_spark.oracle import OracleIndex
 from search_engine_spark.query import bm25_topk_blocks, bm25_topk_df
@@ -42,6 +42,75 @@ def test_rank_identity(engine, qid, query):
     ]
     assert got_df == expected, f"DataFrame path diverges for {query!r}"
     assert got_blk == expected, f"Block path diverges for {query!r}"
+
+
+# --- URL-injected engine: reference Indexer.java:236-238 token injection +
+# --- Search.java:98 URL bonus, with planted empty/whitespace/all-filtered
+# --- docs exercising the doclen-0 accounting (ADVICE round 1)
+
+EXTRA_DOCS = [
+    ("orgx/empty", "src/empty.py", "c0", "python", ""),
+    ("orgx/blank", "src/blank.md", "c1", "md", "   \n\t  "),
+    ("orgx/skips", "src/allskip.js", "c2", "js", "http www com " + "y" * 25),
+]
+
+
+@pytest.fixture(scope="module")
+def url_engine(spark, corpus):
+    extra = with_doc_id(
+        spark.createDataFrame(
+            EXTRA_DOCS, "repo string, path string, commit string, lang string, content string"
+        )
+    )
+    full = corpus.unionByName(extra)
+    tokens, postings, dstats, tstats = build_index_frames(full, url_cols=("repo", "path"))
+    postings = postings.cache()
+    dstats = dstats.cache()
+    tstats = tstats.cache()
+    N, avgdl = corpus_stats(dstats)
+    index_df = build_block_index(postings, dstats, avgdl).cache()
+    index_df.count()
+    docs = [
+        (r["doc_id"], f'{r["repo"]}/{r["path"]}', r["content"])
+        for r in full.select("doc_id", "repo", "path", "content").collect()
+    ]
+    oi = OracleIndex(docs)
+    assert oi.N == N == 200 + len(EXTRA_DOCS)
+    assert abs(oi.avgdl - avgdl) < 1e-12
+    return postings, dstats, tstats, index_df, N, avgdl, oi
+
+
+URL_QUERIES = reference_queries() + [
+    (100, "file17"),  # pure path token — unsearchable before injection
+    (101, "src"),  # hot URL token (in every path) — max bonus coverage
+    (102, "py mod3"),  # extension + module dir
+    (103, "def file5"),  # mixed content + path terms
+    (104, "empty"),  # matches a planted empty doc only via its path
+]
+
+
+@pytest.mark.parametrize("qid,query", URL_QUERIES)
+def test_rank_identity_url(url_engine, qid, query):
+    postings, dstats, tstats, index_df, N, avgdl, oi = url_engine
+    expected = oi.query(query, k=C.TOP_K)
+    got_df = [
+        (r["doc_id"], r["score"])
+        for r in bm25_topk_df(postings, dstats, tstats, N, avgdl, query, k=C.TOP_K).collect()
+    ]
+    got_blk = [
+        (r["doc_id"], r["score"])
+        for r in bm25_topk_blocks(index_df, tstats, N, avgdl, query, k=C.TOP_K).collect()
+    ]
+    assert got_df == expected, f"DataFrame path diverges for {query!r}"
+    assert got_blk == expected, f"Block path diverges for {query!r}"
+
+
+def test_url_bonus_changes_scores(url_engine, engine):
+    """A pure path token ranks docs under the URL engine and nothing
+    under the content-only engine — the injection is actually live."""
+    _p, _d, _t, _idx, _N, _a, oi_url = url_engine
+    _p2, _d2, _t2, _idx2, _N2, _a2, oi_plain = engine
+    assert oi_url.query("file17") and not oi_plain.query("file17")
 
 
 def test_sha256_invariant(spark, corpus):

@@ -126,6 +126,28 @@ def test_bucket_pruned_query_matches_full_scan(spark, built):
     assert [tuple(r) for r in full] == [tuple(r) for r in fast]
 
 
+def test_search_results_assembly(spark, built):
+    """Result assembly (Search.java:325-345): ranked ids join back to the
+    docs side table; output is rank-ordered and carries repo/path/lang."""
+    sink, root = built
+    res = sink.search_results(spark, "import def", k=10).collect()
+    assert 0 < len(res) <= 10
+    assert [r["rank"] for r in res] == list(range(1, len(res) + 1))
+    scores = [r["score"] for r in res]
+    assert scores == sorted(scores, reverse=True)
+    for r in res:
+        assert r["repo"] and r["path"] and r["lang"] and r["commit"]
+
+
+def test_url_token_searchable(spark, built):
+    """URL injection (Indexer.java:236-238): a pure path token (the
+    filename stem) retrieves its doc from the PRIMARY index."""
+    sink, root = built
+    res = sink.search_results(spark, "file3", k=5).collect()
+    assert res, "path token 'file3' should hit via URL injection"
+    assert any("file3." in r["path"] for r in res)
+
+
 def test_meta_roundtrip(built):
     _, root = built
     meta = json.load(open(os.path.join(root, "meta.json")))
