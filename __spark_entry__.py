@@ -381,6 +381,8 @@ def q_minhash_lsh(spark, sf_dir):
 
 
 def q_simhash_pairs(spark, sf_dir):
+    # fully oracle-checked: the 60-bit fingerprint hash is md5-derived,
+    # which DuckDB computes bit-identically (unlike xxhash64)
     from search_engine_spark.ops.dedup import simhash_dup_pairs
 
     return simhash_dup_pairs(_docs_with_dups(spark, sf_dir), max_hamming=3)
@@ -390,6 +392,14 @@ def q_embedding_dups(spark, sf_dir):
     from search_engine_spark.ops.dedup import embedding_dup_pairs
 
     return embedding_dup_pairs(_read(spark, sf_dir, "embeddings"), threshold=0.3)
+
+
+def q_embedding_dups_lsh(spark, sf_dir):
+    # SRP-bucketed scale path — candidate generation needs a matmul, so
+    # no SQL oracle; recall vs the exact path gated in tests/test_ops.py
+    from search_engine_spark.ops.dedup import embedding_dup_pairs_lsh
+
+    return embedding_dup_pairs_lsh(_read(spark, sf_dir, "embeddings"), threshold=0.3)
 
 
 def _query_vecs(emb):
@@ -705,6 +715,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": q_minhash_lsh,
         "simhash_pairs": q_simhash_pairs,
         "embedding_dups": q_embedding_dups,
+        "embedding_dups_lsh": q_embedding_dups_lsh,
         "embedding_topk": q_embedding_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "lang_id": q_lang_id,
@@ -835,14 +846,40 @@ def oracle_sql() -> dict[str, str]:
             WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.5
         """,
         "embedding_dups": """
-            WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
-            p AS (
+            SELECT id_a, id_b, cosine FROM (
               SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                     list_dot_product(a.vec, b.vec)
-                       / (sqrt(list_dot_product(a.vec, a.vec)) * sqrt(list_dot_product(b.vec, b.vec)))
+                     ROUND(list_dot_product(a.vec, b.vec)
+                       / (sqrt(list_dot_product(a.vec, a.vec)) * sqrt(list_dot_product(b.vec, b.vec))), 6)
                        AS cosine
-              FROM v a JOIN v b ON a.vec_id < b.vec_id)
-            SELECT id_a, id_b, ROUND(cosine, 6) AS cosine FROM p WHERE cosine >= 0.3
+              FROM (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings) a
+              JOIN (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings) b
+                ON a.vec_id < b.vec_id)
+            WHERE cosine >= 0.3
+        """,
+        "simhash_pairs": f"""
+            WITH {_DUPS_CTE},
+            tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM (
+                     SELECT doc_id, unnest(list_filter(
+                       regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS term
+                     FROM dd)
+                   GROUP BY doc_id, term),
+            th AS (SELECT doc_id, tf, CAST(('0x' || substr(md5(term), 1, 15)) AS BIGINT) AS h FROM tf),
+            contrib AS (SELECT doc_id, b.bit,
+                               CASE WHEN (h >> b.bit) & 1 = 1 THEN tf ELSE -tf END AS c
+                        FROM th CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS bit) b),
+            s AS (SELECT doc_id, bit, SUM(c) AS s FROM contrib GROUP BY doc_id, bit),
+            fp AS (SELECT doc_id,
+                          SUM(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS simhash
+                   FROM s GROUP BY doc_id),
+            banded AS (SELECT doc_id, simhash, b.band,
+                              (simhash >> (b.band * 15)) & 32767 AS band_val
+                       FROM fp CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band) b),
+            cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                            a.simhash AS sa, b.simhash AS sb
+                     FROM banded a JOIN banded b
+                       ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id)
+            SELECT id_a, id_b, bit_count(xor(sa, sb))::INT AS hamming
+            FROM cand WHERE bit_count(xor(sa, sb)) <= 3
         """,
         "embedding_topk": """
             WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),

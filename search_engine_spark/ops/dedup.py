@@ -29,7 +29,13 @@ from pyspark.sql import functions as F
 MINHASH_PERMS = 64
 MINHASH_BANDS = 16  # 16 bands x 4 rows
 MERSENNE_31 = 2147483647  # modulus; hashes reduced into [0, 2^31)
-SIMHASH_BANDS = 4  # 4 x 16-bit bands → catches hamming distance ≤ 3 pairs
+# SimHash: 60-bit fingerprints (15 hex chars of md5 — md5 is computable
+# bit-identically in DuckDB, making the whole operator oracle-checkable,
+# unlike xxhash64 which has no DuckDB twin), 4 × 15-bit pigeonhole bands
+# → catches every pair at hamming distance ≤ 3.
+SIMHASH_BITS = 60
+SIMHASH_BANDS = 4
+SIMHASH_BAND_WIDTH = SIMHASH_BITS // SIMHASH_BANDS
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -70,13 +76,29 @@ def jaccard_dup_pairs(
     threshold: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity join via the shingle inverted
     index: pairs only form where a shingle is shared, intersection counts
-    come from one groupBy, and set sizes broadcast back in. At scale,
-    hot shingles (boilerplate) should be df-capped before the self-join —
-    a shingle shared by m docs contributes m² pair rows."""
+    come from one groupBy, and set sizes broadcast back in.
+
+    ``max_shingle_df`` is the hot-shingle cap for scale: a shingle shared
+    by m docs contributes m² pair rows to the self-join, so boilerplate
+    (license headers, codegen banners) explodes quadratically. With the
+    cap, shingles whose document frequency exceeds it are dropped BEFORE
+    the join and Jaccard is computed over the capped shingle universe —
+    boilerplate carries no discriminative signal, and candidate work is
+    bounded by cap²·|hot shingles|. None = exact (the oracle-checked
+    default)."""
     sh = token_shingles(df, n, text_col, id_col)
+    if max_shingle_df is not None:
+        keep = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("_df"))
+            .where(F.col("_df") <= max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(keep, "shingle")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -184,18 +206,20 @@ def minhash_lsh_pairs(
 def simhash_fingerprints(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """(id, text) → (doc_id, simhash): 64-bit tf-weighted fingerprint.
-    Native formulation: term-frequency rows × a broadcast 64-row bit
+    """(id, text) → (doc_id, simhash): 60-bit tf-weighted fingerprint.
+    Native formulation: term-frequency rows × a broadcast 60-row bit
     table; bit b of the fingerprint is set iff Σ_terms tf·sign(bit b of
-    xxhash64(term)) > 0. Two partial-agg shuffles, no Python."""
+    h(term)) > 0, where h = the first 15 md5 hex chars as an integer
+    (DuckDB-identical, so the oracle gate covers the full operator).
+    Two partial-agg shuffles, no Python."""
     arr = F.filter(F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"), lambda t: t != F.lit(""))
     tf = (
         df.select(F.col(id_col).alias("doc_id"), F.explode(arr).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
-        .withColumn("h", F.xxhash64("term"))
+        .withColumn("h", F.conv(F.substring(F.md5("term"), 1, 15), 16, 10).cast("long"))
     )
-    bits = df.sparkSession.range(64).select(F.col("id").cast("int").alias("bit"))
+    bits = df.sparkSession.range(SIMHASH_BITS).select(F.col("id").cast("int").alias("bit"))
     contrib = tf.join(F.broadcast(bits)).select(
         "doc_id",
         "bit",
@@ -222,7 +246,7 @@ def simhash_dup_pairs(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) ≤ max_hamming via the banded
-    pigeonhole join: split 64 bits into SIMHASH_BANDS 16-bit bands; any
+    pigeonhole join: split 60 bits into SIMHASH_BANDS 15-bit bands; any
     pair within distance ≤ bands-1 agrees on ≥1 band, so the self-join on
     (band_id, band_value) sees every qualifying pair without all-pairs."""
     fp = simhash_fingerprints(df, text_col, id_col)
@@ -231,7 +255,9 @@ def simhash_dup_pairs(
         "doc_id",
         "simhash",
         "band",
-        F.expr("shiftright(simhash, band * 16)").bitwiseAND(F.lit(0xFFFF)).alias("band_val"),
+        F.expr(f"shiftright(simhash, band * {SIMHASH_BAND_WIDTH})")
+        .bitwiseAND(F.lit((1 << SIMHASH_BAND_WIDTH) - 1))
+        .alias("band_val"),
     )
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
@@ -264,9 +290,11 @@ def embedding_dup_pairs(
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs. This is the exact all-pairs
     formulation (range self-join on cosine ≥ threshold) — correct
-    baseline and oracle-checkable; the scale path buckets by random
-    hyperplane signs first (similarity.lsh_cosine_topk shares the
-    machinery)."""
+    baseline and oracle-checkable; the scale path is
+    :func:`embedding_dup_pairs_lsh`. The threshold applies to the
+    6-dp-ROUNDED cosine so the boundary is engine-portable (two engines'
+    float folds can disagree below 1e-6 and flip a threshold-straddling
+    pair)."""
     v = emb.select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).cast("array<double>").alias("vec"),
@@ -279,15 +307,78 @@ def embedding_dup_pairs(
         .select(
             F.col("a.vid").alias("id_a"),
             F.col("b.vid").alias("id_b"),
-            (
+            F.round(
                 F.aggregate(
                     F.zip_with(F.col("a.vec"), F.col("b.vec"), lambda x, y: x * y),
                     F.lit(0.0),
                     lambda acc, x: acc + x,
                 )
-                / (F.col("a.norm") * F.col("b.norm"))
+                / (F.col("a.norm") * F.col("b.norm")),
+                6,
             ).alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
-        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def embedding_dup_pairs_lsh(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    n_tables: int = 8,
+    bits: int = 8,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scale path for embedding near-dup pairs: SRP-LSH bucketing
+    (similarity._bucket_codes machinery) generates candidates — only
+    vectors sharing a (table, code) bucket ever meet — then candidates
+    are exact-cosine rescored against the rounded threshold.
+
+    At cos ≥ 0.95 (θ ≈ 18°) per-table collision is (1-θ/π)^8 ≈ 0.43, so
+    8 tables miss a true pair w.p. ≈ 0.01 — recall ≈ 0.99, gated ≥ 0.9
+    in tests against the exact path. Candidate volume is Σ_buckets m²
+    with m ≈ n/2^bits per table — ≪ n² for any non-degenerate
+    distribution; the test also asserts the candidate count is a small
+    fraction of all-pairs."""
+    from .similarity import _bucket_codes, _hyperplanes
+
+    v = emb.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    if dim is None:
+        dim = len(v.select("v").first()[0])
+    planes = _hyperplanes(dim, n_tables, bits)
+    b = _bucket_codes(v, F.col("v"), planes, "vid")
+    pa, pb = b.alias("a"), b.alias("b")
+    cand = (
+        pa.join(
+            pb,
+            (F.col("a.table") == F.col("b.table"))
+            & (F.col("a.code") == F.col("b.code"))
+            & (F.col("a.vid") < F.col("b.vid")),
+        )
+        .select(
+            F.col("a.vid").alias("id_a"),
+            F.col("b.vid").alias("id_b"),
+            F.col("a.vec").alias("va"),
+            F.col("b.vec").alias("vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    norm = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x))  # noqa: E731
+    dot = F.aggregate(
+        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        cand.select(
+            "id_a",
+            "id_b",
+            F.round(dot / (norm(F.col("va")) * norm(F.col("vb"))), 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
     )

@@ -18,6 +18,7 @@ All float math is float64 with a fixed left-fold accumulation order
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -73,23 +74,36 @@ def _hyperplanes(dim: int, n_tables: int, bits: int, seed: int = LSH_SEED) -> np
     return rng.standard_normal((n_tables, bits, dim))
 
 
-def _bucket_codes(df: DataFrame, vec_col, planes: np.ndarray, id_alias: str) -> DataFrame:
-    """Attach (table, code) bucket rows per vector: code = sign-bit int of
-    the vector's dot products with each table's hyperplanes. Expressed as
-    a literal-array projection (planes are constants baked into the plan,
-    the Spark analogue of broadcasting the model)."""
+def _codes_udf(planes: np.ndarray):
+    """Arrow-vectorized SRP encoder: one (batch × dim) @ (dim × tables·bits)
+    matmul per Arrow batch → per-vector array of n_tables bucket codes.
+    The planes matrix ships once per executor inside the serialized UDF
+    (the broadcast-a-model pattern) instead of being unrolled into
+    n_tables × bits × dim plan literals — plan size is flat in dim, and
+    the projection is narrow (no shuffle, no driver action)."""
     n_tables, bits, _dim = planes.shape
-    exprs = []
-    for t in range(n_tables):
-        code = F.lit(0).cast("long")
-        for j in range(bits):
-            plane = F.array(*[F.lit(float(x)) for x in planes[t, j]])
-            bit = (_dot(vec_col, plane) > 0).cast("long")
-            code = code + F.shiftleft(bit, j)
-        exprs.append(F.struct(F.lit(t).alias("table"), code.alias("code")))
+    flat = planes.reshape(n_tables * bits, -1).T.copy()  # (dim, tables·bits)
+    weights = 1 << np.arange(bits, dtype=np.int64)
+
+    @F.pandas_udf("array<long>")
+    def codes(vecs: pd.Series) -> pd.Series:
+        if not len(vecs):
+            return pd.Series([], dtype=object)
+        m = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+        signs = (m @ flat) > 0  # (n, tables·bits)
+        c = (signs.reshape(len(m), n_tables, bits) * weights).sum(axis=2)
+        return pd.Series(list(c))
+
+    return codes
+
+
+def _bucket_codes(df: DataFrame, vec_col, planes: np.ndarray, id_alias: str) -> DataFrame:
+    """Attach (table, code) bucket rows per vector — narrow: project the
+    code array via the Arrow matmul UDF, then one posexplode."""
+    codes = _codes_udf(planes)
     return df.select(
-        id_alias, vec_col.alias("vec"), F.explode(F.array(*exprs)).alias("tc")
-    ).select(id_alias, "vec", F.col("tc.table").alias("table"), F.col("tc.code").alias("code"))
+        id_alias, vec_col.alias("vec"), F.posexplode(codes(vec_col)).alias("table", "code")
+    ).select(id_alias, "vec", F.col("table").cast("int").alias("table"), "code")
 
 
 def lsh_cosine_topk(
@@ -98,6 +112,7 @@ def lsh_cosine_topk(
     k: int = 10,
     n_tables: int = 12,
     bits: int = 6,
+    dim: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     q_id_col: str = "query_id",
@@ -108,8 +123,12 @@ def lsh_cosine_topk(
     per query. Collision probability per table (1 − θ/π)^bits — with 8
     tables × 10 bits, near neighbors collide w.h.p. while the candidate
     set stays ≪ corpus (the whole point at 10^12 rows: the join keys on
-    (table, code), so only bucket-mates ever meet)."""
-    dim = len(emb.select(vec_col).first()[0])
+    (table, code), so only bucket-mates ever meet).
+
+    Pass ``dim`` explicitly at scale; when None it is inferred with one
+    driver action on the (small, broadcast) QUERY side, never the corpus."""
+    if dim is None:
+        dim = len(queries.select(q_vec_col).first()[0])
     planes = _hyperplanes(dim, n_tables, bits)
     base = emb.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v")

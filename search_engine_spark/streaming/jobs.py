@@ -11,8 +11,11 @@ capabilities a continuously-ingesting 100 TB corpus needs:
   postings + doc stats to the index store. ``foreachBatch`` + the stream
   checkpoint give exactly-once per input file; because a document
   arrives whole within one file, its postings are complete within one
-  batch and plain append is a correct merge (re-ingestion of a CHANGED
-  doc id would need a MERGE sink — documented, out of scope).
+  batch and plain append is a correct merge. Duplicate doc_ids (same
+  repo/path/commit re-delivered, in-batch or across batches) are
+  DROPPED before writing — in-batch dropDuplicates + anti-join against
+  committed ids — so aggregates never double-count; upsert-by-path for
+  CHANGED docs would need a MERGE sink (documented, out of scope).
   ``Trigger.AvailableNow`` drains everything pending then stops, which is
   both the test mode and the nightly-catch-up mode on a cluster.
 - :func:`windowed_event_counts` — event-time tumbling windows with a
@@ -71,7 +74,18 @@ def incremental_index_stream(
     stream = read_corpus_stream(spark, corpus_dir)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        ids = with_doc_id(batch_df)
+        # re-ingest guard: a duplicate (repo, path, commit) — within the
+        # batch or vs previously committed ids — would silently double its
+        # postings rows and corrupt tf/doclen aggregates; dedup in-batch
+        # and anti-join the ids already in the store. A CHANGED doc (same
+        # repo/path, new commit) gets a NEW doc_id and coexists — true
+        # upsert-by-path needs a MERGE sink (out of scope, documented).
+        ids = with_doc_id(batch_df).dropDuplicates(["doc_id"])
+        import os
+
+        if os.path.isdir(f"{store_dir}/dstats"):
+            seen = spark.read.parquet(f"{store_dir}/dstats").select("doc_id")
+            ids = ids.join(seen, "doc_id", "left_anti")
         toks = tokenize(ids)
         postings = doc_postings(toks).withColumn("batch_id", F.lit(batch_id))
         dstats = doc_stats(toks).withColumn("batch_id", F.lit(batch_id))

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from search_engine_spark.ops.dedup import (
     embedding_dup_pairs,
+    embedding_dup_pairs_lsh,
     exact_dedup,
     jaccard_dup_pairs,
     minhash_lsh_pairs,
@@ -149,6 +150,114 @@ def test_embedding_dup_pairs_matches_numpy(emb, emb_np):
         for r in embedding_dup_pairs(emb, threshold=float(thr)).collect()
     }
     assert got == expect and got
+
+
+def test_jaccard_df_cap(spark, docs_with_dups):
+    """max_shingle_df: (1) a cap nothing hits leaves results identical;
+    (2) on a boilerplate-heavy fixture the cap bounds the self-join's
+    candidate volume by dropping the hot shingle."""
+    exact = {tuple(r) for r in jaccard_dup_pairs(docs_with_dups, n=3, threshold=0.5).collect()}
+    n_docs = docs_with_dups.count()
+    capped_same = {
+        tuple(r)
+        for r in jaccard_dup_pairs(
+            docs_with_dups, n=3, threshold=0.5, max_shingle_df=n_docs + 1
+        ).collect()
+    }
+    assert capped_same == exact
+
+    # boilerplate fixture: every doc shares one license-header shingle
+    boiler = docs_with_dups.select(
+        "doc_id", F.concat(F.lit("licensed under apache "), F.col("text")).alias("text")
+    )
+    from search_engine_spark.ops.dedup import token_shingles
+
+    sh = token_shingles(boiler, n=3)
+    hot_df = (
+        sh.groupBy("shingle").count().agg(F.max("count")).collect()[0][0]
+    )
+    assert hot_df >= n_docs  # the planted header shingle is corpus-wide
+    capped = jaccard_dup_pairs(boiler, n=3, threshold=0.9, max_shingle_df=50)
+    # candidate volume proxy: the capped shingle index self-join cannot
+    # see the corpus-wide shingle, so no pair is connected ONLY by it
+    keep = (
+        sh.groupBy("shingle").count().where(F.col("count") <= 50).select("shingle")
+    )
+    capped_sh = sh.join(keep, "shingle")
+    n_cand_capped = (
+        capped_sh.alias("a")
+        .join(
+            capped_sh.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .count()
+    )
+    n_cand_uncapped = (
+        sh.alias("a")
+        .join(
+            sh.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .count()
+    )
+    # the single corpus-wide shingle alone contributes n(n-1)/2 pairs
+    assert n_cand_uncapped - n_cand_capped >= n_docs * (n_docs - 1) // 2
+    # planted exact dups (jaccard 1.0 in the capped universe) still found
+    got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    base_ids = [r["doc_id"] for r in docs_with_dups.where(F.col("doc_id") < 10_000).select("doc_id").collect()]
+    found = sum((i, i + 20_000) in got for i in base_ids)
+    assert found >= 0.95 * len(base_ids)
+
+
+def test_embedding_dup_pairs_lsh_recall(emb):
+    """LSH-bucketed dedup vs the exact all-pairs path on a planted-dup
+    fixture: vec + small noise → cosine ≈ 0.99. Recall ≥ 0.9 and the
+    bucket join must generate far fewer candidates than all-pairs."""
+    import pandas as pd  # noqa: F401
+
+    spark = emb.sparkSession
+    rows = emb.select("vec_id", "embedding").collect()
+    rng = np.random.default_rng(3)
+    planted = []
+    for r in rows:
+        v = np.asarray(r["embedding"], dtype=np.float64)
+        noisy = v + rng.normal(0, 0.02 * np.linalg.norm(v) / np.sqrt(v.size), v.size)
+        planted.append((r["vec_id"] + 100_000, [float(x) for x in noisy]))
+    both = emb.select("vec_id", "embedding").union(
+        spark.createDataFrame(planted, "vec_id long, embedding array<double>")
+    )
+    exact = {
+        (r["id_a"], r["id_b"]) for r in embedding_dup_pairs(both, threshold=0.95).collect()
+    }
+    assert len(exact) >= 0.9 * len(rows)  # planted pairs exist
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_dup_pairs_lsh(both, threshold=0.95).collect()
+    }
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.9, f"LSH dedup recall {recall:.2f} over {len(exact)} pairs"
+    assert got <= exact  # rescoring is exact → no false positives
+    # candidate volume ≪ all-pairs
+    from search_engine_spark.ops.dedup import SIMHASH_BANDS  # noqa: F401
+    from search_engine_spark.ops.similarity import _bucket_codes, _hyperplanes
+
+    v = both.select(F.col("vec_id").alias("vid"), F.col("embedding").alias("v"))
+    planes = _hyperplanes(len(rows[0]["embedding"]), 8, 8)
+    b = _bucket_codes(v, F.col("v"), planes, "vid")
+    n_cand = (
+        b.alias("a")
+        .join(
+            b.alias("b"),
+            (F.col("a.table") == F.col("b.table"))
+            & (F.col("a.code") == F.col("b.code"))
+            & (F.col("a.vid") < F.col("b.vid")),
+        )
+        .select("a.vid", "b.vid")
+        .distinct()
+        .count()
+    )
+    n = both.count()
+    assert n_cand < 0.35 * n * (n - 1) / 2, f"{n_cand} candidates vs {n*(n-1)//2} all-pairs"
 
 
 # --- similarity ------------------------------------------------------------
@@ -315,9 +424,48 @@ def test_pagerank_fixed_iters_matches_numpy(spark):
         assert abs(got[n] - expect[n]) < 1e-9
 
 
-def test_pagerank_converges(spark):
+def _np_pagerank_converged(
+    edges: list[tuple[int, int]], max_iters: int, conv_thresh: float, conv_p: float
+) -> tuple[dict[int, float], int]:
+    """Python twin of the CONVERGENCE mode (reference semantics:
+    PageRank.java:232 — stop when the fraction of nodes moving less than
+    conv_thresh reaches conv_p; PageRankParallel.java:311-327)."""
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    out: dict[int, list[int]] = {}
+    for s, d in edges:
+        out.setdefault(s, []).append(d)
+    r = {n: 1.0 for n in nodes}
+    for it in range(1, max_iters + 1):
+        inc = {n: 0.0 for n in nodes}
+        for s, ds in out.items():
+            share = r[s] / len(ds) * 0.85
+            for d in ds:
+                inc[d] += share
+        new = {n: 0.15 + inc[n] for n in nodes}
+        frac = sum(abs(new[n] - r[n]) < conv_thresh for n in nodes) / len(nodes)
+        r = new
+        if frac >= conv_p:
+            return r, it
+    return r, max_iters
+
+
+def test_pagerank_convergence_matches_python_oracle(spark):
+    """Convergence mode (ops/pagerank.py conv loop) against the Python
+    twin with the reference thresholds (PR_CONV_THRESH=0.01,
+    PR_CONV_P=0.95): the engine must stop at the same iteration and
+    produce the same ranks."""
+    from search_engine_spark import constants as C
+
     rng = np.random.default_rng(11)
     edges = sorted({(int(a), int(b)) for a, b in rng.integers(0, 30, size=(200, 2)) if a != b})
+    expect, n_iters = _np_pagerank_converged(edges, 30, C.PR_CONV_THRESH, C.PR_CONV_P)
+    assert 1 < n_iters < 30, "fixture must converge strictly inside the cap"
     edf = spark.createDataFrame(edges, "src long, dst long")
-    ranks = pagerank(edf, max_iters=30).collect()
-    assert all(r["rank"] >= 0.15 - 1e-12 for r in ranks)
+    got = {r["node"]: r["rank"] for r in pagerank(edf, max_iters=30).collect()}
+    assert set(got) == set(expect)
+    for n in expect:
+        assert abs(got[n] - expect[n]) < 1e-9, (n, got[n], expect[n])
+    # and it genuinely stopped early: ranks differ from the full-30 run
+    full, _ = _np_pagerank_converged(edges, 30, 0.0, 1.1)  # never converges early
+    assert any(abs(full[n] - expect[n]) > 1e-9 for n in expect)
+    assert all(v >= 0.15 - 1e-12 for v in got.values())

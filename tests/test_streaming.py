@@ -65,6 +65,18 @@ def test_incremental_index_matches_batch(spark, tmp_path):
     q = incremental_index_stream(spark, corpus_dir, store, ckpt)
     _await(q)
     assert spark.read.parquet(f"{store}/postings").count() == len(s)
+
+    # re-delivery of ALREADY-SEEN docs in a new file (fresh checkpoint —
+    # simulating an upstream replay the stream checkpoint can't catch):
+    # the anti-join guard drops them, so aggregates never double-count
+    a.coalesce(1).write.mode("append").parquet(corpus_dir)
+    q = incremental_index_stream(spark, corpus_dir, store, str(tmp_path / "ckpt2"))
+    _await(q)
+    assert spark.read.parquet(f"{store}/postings").count() == len(s)
+    assert (
+        spark.read.parquet(f"{store}/dstats").groupBy("doc_id").count().agg(F.max("count")).collect()[0][0]
+        == 1
+    )
     full.unpersist()
 
 
