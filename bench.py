@@ -105,12 +105,21 @@ def main() -> None:
     assert res["status"] == "committed", res
     timings["index_build"] = time.perf_counter() - t0
     files_per_sec = n_docs / timings["index_build"]
+    build_phases = res["meta"]["phase_timings_s"]
 
     # --- query latency over the written, bucket-pruned index ---
     blocks, tstats, dstats, meta = sink.read(spark)
     N, avgdl = meta["N"], meta["avgdl"]
     tstats = tstats.cache()
     tstats.count()
+    # one untimed query first: the timed loop measures warm-service
+    # latency, not the post-build executor state (async unpersist of the
+    # build caches + first-touch page cache made the FIRST query ~2×
+    # noisier than every later one at 4 executors)
+    warm_terms, _ = normalize_query("warmup query def")
+    bm25_topk_blocks(
+        sink.blocks_for_terms(spark, warm_terms), tstats, N, avgdl, "warmup query def"
+    ).collect()
     for name, q in BENCH_QUERIES.items():
         t0 = time.perf_counter()
         terms, _w = normalize_query(q)
@@ -131,6 +140,7 @@ def main() -> None:
                 "cores": executors * 4 if executors else cores,
                 "executors": executors,
                 "files_per_sec": round(files_per_sec, 1),
+                "phases": build_phases,
             }
         )
     )

@@ -98,7 +98,19 @@ def generate_corpus(spark: SparkSession, n_docs: int, seed: int = C.SEED, partit
 def with_doc_id(df: DataFrame) -> DataFrame:
     """Attach the derived columns every downstream stage keys on:
     doc_id = xxhash64(repo, path, commit) and the per-row invariant
-    content_sha = sha2(content, 256) (BASELINE.json input_hint)."""
+    content_sha = sha2(content, 256) (BASELINE.json input_hint).
+
+    Collision accounting at the stated 10^12-file scale: 64-bit birthday
+    gives E[collisions] ≈ n²/2^65 ≈ 27k colliding PAIRS out of 10^12 docs
+    (fraction ~5e-8) — each collision merges two docs' postings, a
+    recall-invisible defect for search but wrong for exact dedup
+    bookkeeping. The widening path is mechanical: key on a 128-bit id as
+    two longs, e.g. (xxhash64(repo,path,commit),
+    xxhash64(commit,path,repo)) or conv(substr(sha2,...)) split — every
+    downstream op keys on the opaque id column(s) and the block codec
+    would add a second delta stream. Kept 64-bit here because a single
+    long doc_id is what the delta-varbyte doc stream encodes, and the
+    sandbox corpora are ≤ 10^6 docs (collision odds ~3e-8 per corpus)."""
     return df.withColumn("doc_id", F.xxhash64("repo", "path", "commit")).withColumn(
         "content_sha", F.sha2("content", 256)
     )

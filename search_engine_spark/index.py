@@ -144,6 +144,34 @@ def _encode_batch(pdf: pd.DataFrame, avgdl: float) -> pd.DataFrame:
     tfs = pdf["tf"].to_numpy(dtype=np.int64)
     dls = pdf["doclen"].to_numpy(dtype=np.int64)
     ufs = pdf["uf"].to_numpy(dtype=np.int64)
+    plists = pdf["positions"].to_numpy()
+
+    # merge duplicate (term, shard, doc) rows — the posting-level stem
+    # channel (build: raw postings ∪ stem-renamed postings) can deliver
+    # up to one row per raw term mapping to the same stem, plus the raw
+    # form itself; rows are adjacent after the sort, so merging is a
+    # reduceat: tf sums, uf maxes, positions concat+sort. Token-level
+    # aggregated inputs (tests) have no duplicates and skip this block.
+    if n_rows > 1:
+        dup = (term[1:] == term[:-1]) & (shard[1:] == shard[:-1]) & (doc[1:] == doc[:-1])
+        if dup.any():
+            new_row = np.ones(n_rows, dtype=bool)
+            new_row[1:] = ~dup
+            starts = np.nonzero(new_row)[0]
+            tfs = np.add.reduceat(tfs, starts)
+            ufs = np.maximum.reduceat(ufs, starts)
+            ends = np.empty(starts.size, dtype=np.int64)
+            ends[:-1] = starts[1:]
+            ends[-1] = n_rows
+            plists = np.array(
+                [
+                    plists[s] if e == s + 1 else np.sort(np.concatenate([np.asarray(p) for p in plists[s:e]]))
+                    for s, e in zip(starts, ends)
+                ],
+                dtype=object,
+            )
+            term, shard, doc, dls = term[starts], shard[starts], doc[starts], dls[starts]
+            n_rows = starts.size
 
     # group / block geometry
     new_group = np.ones(n_rows, dtype=bool)
@@ -180,7 +208,6 @@ def _encode_batch(pdf: pd.DataFrame, avgdl: float) -> pd.DataFrame:
 
     # positions: flatten all rows once; per-position deltas reset at each
     # row (doc) boundary; per-block slices via row→flat offsets
-    plists = pdf["positions"].to_numpy()
     plens = np.fromiter((len(p) for p in plists), count=n_rows, dtype=np.int64)
     flat = (
         np.concatenate([np.asarray(p, dtype=np.uint64) for p in plists])

@@ -309,7 +309,14 @@ def bm25_topk_blocks(
     idf_by_term = {t: bm25_idf(N, dfs[t]) for t in terms if t in dfs}
     if not idf_by_term:
         return spark.createDataFrame([], "doc_id long, score double")
-    idx = index_df.where(F.col("term").isin(list(idf_by_term)))
+    # project away the positions streams BEFORE the per-shard exchange:
+    # pos_bytes/plen_bytes dominate block-row bytes and BM25 never reads
+    # them — without this, a hot term's shuffle moves ~3× the bytes and
+    # the single-term query REGRESSES as executors are added (round-1
+    # bench: q_hot_term 1.4s → 3.4s going 1 → 4 executors)
+    idx = index_df.where(F.col("term").isin(list(idf_by_term))).select(
+        "term", "shard", "block_id", "doc_bytes", "tf_bytes", "dl_bytes", "uf_bytes", "max_wtf"
+    )
     shard_topk = idx.groupBy("shard").applyInPandas(
         _score_shard_factory(idf_by_term, weight, k, float(avgdl)),
         schema="doc_id long, score double",

@@ -46,6 +46,16 @@ def build_session(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # 32m advisory (default 64m) → AQE-coalesced stages keep ≥ ~2
+        # waves of tasks per core instead of 1.3 ragged waves (measured:
+        # the postings final-agg coalesced to 21 partitions on 16 cores,
+        # idling 11 cores for half the stage)
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32m")
+        # smaller splits = even, core-saturating scan tasks without a
+        # rebalancing shuffle: tokenize amplifies each input byte ~20×,
+        # so scan granularity IS the explode-stage granularity. 16m on a
+        # ~270 MB corpus → ~17 tasks; on a real cluster scale with input.
+        .config("spark.sql.files.maxPartitionBytes", "16m")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
@@ -60,6 +70,14 @@ def build_session(
         # serial disk bandwidth (the scaling bottleneck at wide layouts)
         .config("spark.io.compression.codec", "zstd")
     )
+    # profiling hook: SPARK_GRAFT_EVENTLOG=<dir> records per-stage/task
+    # metrics for tools/analyze_eventlog.py (scaling-bottleneck hunts)
+    ev_dir = os.environ.get("SPARK_GRAFT_EVENTLOG")
+    if ev_dir:
+        os.makedirs(ev_dir, exist_ok=True)
+        builder = builder.config("spark.eventLog.enabled", "true").config(
+            "spark.eventLog.dir", ev_dir
+        )
     if executors is not None:
         repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         builder = (

@@ -55,7 +55,7 @@ from .index import (
     with_shard,
 )
 
-ENGINE_VERSION = "search_engine_spark-0.1"
+ENGINE_VERSION = "search_engine_spark-0.4"
 
 
 def term_bucket_py(term: str, n_buckets: int) -> int:
@@ -145,7 +145,8 @@ class IndexSink:
         root/
           blocks/bucket=NN/*.parquet   encoded posting blocks (partition-pruned
                                        by the query path via term→bucket)
-          tstats/ dstats/              term df / doc length side tables
+          tstats/                      term df side table
+          docs/                        doc metadata + doclen (result assembly)
           _manifest/bucket_NN.json     one commit record per bucket
           meta.json                    corpus stats + config + lineage summary
     """
@@ -191,55 +192,83 @@ class IndexSink:
                     shutil.rmtree(os.path.join(blocks_root, d))
         pending = [b for b in range(self.n_buckets) if b not in done]
         spark = corpus.sparkSession
+        corpus_ids = with_doc_id(corpus)
 
-        # Rebalance the corpus scan before the explode-heavy tokenize:
-        # parquet file-packing yields partitions sized for the INPUT bytes,
-        # but tokenization amplifies each byte ~20× (token rows + stem
-        # channel), so input-balanced splits become compute-skewed tasks.
-        # A round-robin exchange of the (small relative to its expansion)
-        # corpus costs one shuffle and buys full-width parallelism — at
-        # cluster scale, size this to a low multiple of total cores.
-        par = spark.sparkContext.defaultParallelism
-        corpus_ids = with_doc_id(corpus.repartition(max(par * 2, 16)))
+        # I/O-lean dataflow — TWO corpus scans total, no rebalancing
+        # shuffle (spark.sql.files.maxPartitionBytes is sized so parquet
+        # SPLITS are the task granularity — even input bytes → even
+        # explode work, no exchange needed):
+        #   scan 1  writes the docs side table (doc_id, metadata, doclen
+        #           via size(filtered token array) — narrow, no explode);
+        #           dstats and the N/avgdl scalars read back from it
+        #   scan 2  the encode job: tokenize ONCE → postings agg → stem
+        #           channel derived at the POSTING level (vocab =
+        #           distinct over the aggregated postings, reusing the
+        #           same exchange — NOT a second tokenize pass) → encode
+        #   tstats  derived AFTER the build from the written blocks
+        #           (df(term) = Σ n over block rows) — a free byproduct
+        #           of the commit read-back
+        # The heavy (positions-bearing) postings frame is NEVER cached: a
+        # multi-GB materialization is serial disk I/O at any executor
+        # count (measured: caching capped scaling efficiency at ~0.4).
+        from .tokenize import _stem_udf, _token_array, full_text_col, tokenize, tokenize_url
 
-        # I/O-lean dataflow: the heavy (positions-bearing) postings frame
-        # is NEVER cached — it flows straight from tokenize into the
-        # encoder shuffle exactly once. Stats come from two slim frames:
-        #   dstats  = doclen via size(filtered token array): one NARROW
-        #             projection (no explode, no shuffle), persisted
-        #             (tiny); empty docs kept with doclen 0
-        #   tstats  = derived AFTER the build from the written blocks
-        #             (df(term) = Σ n over its block rows) — a free
-        #             byproduct of the commit read-back
-        # Caching postings instead costs a multi-GB materialization whose
-        # write bandwidth is serial at any executor count (measured: it
-        # capped scaling efficiency at ~0.4 before this change).
-        from .tokenize import tokenize, tokenize_url
-
-        dstats = doc_stats_direct(corpus_ids, url_cols=url_cols).persist()
         t0 = time.perf_counter()
+        meta_cols = [c for c in corpus.columns if c != "content"]
+        docs_path = os.path.join(self.root, "docs")
+        # single narrow pass: doc_id + metadata + doclen
+        arr = (
+            _token_array(full_text_col("content", url_cols), truncate=False)
+            if url_cols
+            else _token_array(F.col("content"))
+        )
+        corpus_ids.select(
+            "doc_id", *meta_cols, F.size(arr).cast("int").alias("doclen")
+        ).write.mode("overwrite").parquet(docs_path)
+        docs_tbl = spark.read.parquet(docs_path)
+        dstats = docs_tbl.select("doc_id", "doclen")
         N, avgdl = corpus_stats(dstats)
         phase_t["doc_stats"] = time.perf_counter() - t0
 
         if pending:
+            from pyspark import StorageLevel
+
             from .index import doc_postings
-            from .tokenize import stem_vocab
 
             raw_tokens = (
                 tokenize_url(corpus_ids, url_cols) if url_cols else tokenize(corpus_ids)
             )
-            vocab = stem_vocab(raw_tokens)
-            # stem rows copy raw positions and (url path) the is_url
-            # marker, so doc_postings' uf = max(is_url) flags stems too
-            extra = ["is_url"] if url_cols else []
-            stemmed = (
-                raw_tokens.join(F.broadcast(vocab), "term")
-                .where(F.col("stem") != F.col("term"))
-                .select("doc_id", F.col("stem").alias("term"), "pos", *extra)
-            )
-            postings = doc_postings(raw_tokens.unionByName(stemmed))
+            postings_raw = doc_postings(raw_tokens)
             if not url_cols:
-                postings = postings.withColumn("uf", F.lit(0))
+                postings_raw = postings_raw.withColumn("uf", F.lit(0))
+            # PERSIST the aggregated raw postings: three consumers follow
+            # (vocab distinct, stem-channel join, union-left). Without the
+            # cache, Catalyst column-prunes each branch into its own full
+            # corpus scan + tokenize (measured: 3 tokenize passes, ~2.4k
+            # CPU-s at sf0.1×8 — exchange reuse does NOT trigger across
+            # the differently-pruned subtrees). The cache is the AGGREGATED
+            # frame (compressed columnar, ≈ index-sized), NOT the ~20×
+            # larger token stream — caching tokens was measured at round 1
+            # to cap scaling efficiency at ~0.4; at cluster scale this
+            # spills to per-node local disk, the standard staging pattern.
+            postings_raw = postings_raw.persist(StorageLevel.MEMORY_AND_DISK)
+            # stem channel at the POSTING level: vocabulary = distinct
+            # terms of the cached postings, stems over the vocab only
+            # (Arrow UDF), renamed rows join back broadcast. A raw term
+            # and a different raw term sharing its stem produce duplicate
+            # (term, doc) rows — merged inside the encoder after the
+            # (term, shard) sort (index._encode_batch), so no extra
+            # aggregation exchange is needed.
+            vocab = (
+                postings_raw.select("term")
+                .distinct()
+                .withColumn("stem", _stem_udf("term"))
+                .where(F.col("stem") != F.col("term"))
+            )
+            stemmed = postings_raw.join(F.broadcast(vocab), "term").select(
+                "doc_id", F.col("stem").alias("term"), "tf", "positions", "uf"
+            )
+            postings = postings_raw.unionByName(stemmed)
             # doclen side of the enrichment join: broadcast while the doc
             # count allows (a doc_id row is ~16 bytes — 5M docs ≈ 80 MB),
             # else fall back to a shuffle join. At 10^12 files the block
@@ -264,12 +293,30 @@ class IndexSink:
             for wi, wave in enumerate(waves):
                 if fail_after_waves is not None and wi >= fail_after_waves:
                     enriched.unpersist()
-                    dstats.unpersist()
+                    postings_raw.unpersist()
                     return {"status": "failed_injected", "waves_done": wi}
                 t0 = time.perf_counter()
                 wave_df = enriched.where(F.col("bucket").isin(wave))
+                # ONE exchange does double duty: partitioning on
+                # (bucket, shard-group) both salts the encode (a hot
+                # term's postings split over files_per_bucket reducers —
+                # raise files_per_bucket with N_DOC_SHARDS at scale) and
+                # pre-clusters the output so the encoded blocks write
+                # straight to ≤files_per_bucket term-sorted files per
+                # bucket with tight term min/max row-group stats — a
+                # query's term-isin predicate prunes at the directory
+                # level (bucket) AND the row-group level (term). Round 1
+                # repartitioned twice ((term, shard) to encode, then
+                # (bucket, shard-group) to cluster) — the second exchange
+                # moved the entire compressed index (~640 MB at sf0.1×8)
+                # once more for layout only. A (term, shard) group is
+                # wholly inside one (bucket, shard%fpb) partition, which
+                # is all the encoder's group-contiguity needs.
+                files_per_bucket = 8
                 ordered = wave_df.repartition(
-                    max(len(wave) * 4, 8), "term", "shard"
+                    max(len(wave) * files_per_bucket, 8),
+                    "bucket",
+                    F.pmod(F.col("shard"), files_per_bucket),
                 ).sortWithinPartitions("term", "shard", "doc_id")
                 encoded = ordered.mapInPandas(
                     _encoder_stream(float(avgdl)), schema=INDEX_SCHEMA
@@ -279,27 +326,19 @@ class IndexSink:
                         "int"
                     ),
                 )
+                t_w = time.perf_counter()
                 tmp = os.path.join(self.root, f"_tmp_wave_{wi}")
                 shutil.rmtree(tmp, ignore_errors=True)
-                # Cluster the (already compressed, small) block rows by
-                # (bucket, shard-group) and term-sort each file: ≤4
-                # term-sorted files per bucket with tight term min/max
-                # row-group stats, so a query's term-isin predicate prunes
-                # at the directory level (bucket) and the row-group level
-                # (term). Without clustering, every wave task leaves a
-                # shard file in every bucket — n_tasks × n_buckets small
-                # files, death at scale; with only n_wave partitions the
-                # write stage's parallelism collapses to the wave size
-                # (measured straggler tail at 16 buckets / 16 cores).
-                files_per_bucket = 4
-                encoded = encoded.repartition(
-                    len(wave) * files_per_bucket,
-                    "bucket",
-                    F.pmod(F.col("shard"), files_per_bucket),
-                ).sortWithinPartitions("bucket", "term", "shard", "block_id")
                 encoded.write.partitionBy("bucket").mode("overwrite").parquet(tmp)
+                phase_t["encode_write"] = phase_t.get("encode_write", 0.0) + (
+                    time.perf_counter() - t_w
+                )
+                t_l = time.perf_counter()
                 written = spark.read.parquet(tmp)
                 stats = _bucket_lineage(written)
+                phase_t["lineage_readback"] = phase_t.get("lineage_readback", 0.0) + (
+                    time.perf_counter() - t_l
+                )
                 wall_ms = int((time.perf_counter() - t0) * 1000)
                 for b in wave:
                     src = os.path.join(tmp, f"bucket={b}")
@@ -331,6 +370,7 @@ class IndexSink:
                     os.replace(mp + ".tmp", mp)  # manifest write is the commit
                 shutil.rmtree(tmp, ignore_errors=True)
             enriched.unpersist()
+            postings_raw.unpersist()
             phase_t["encode_commit"] = time.perf_counter() - t0
 
         # side tables + meta are cheap; (re)written last, unconditionally.
@@ -340,16 +380,7 @@ class IndexSink:
         blocks_now = spark.read.parquet(blocks_root)
         tstats = blocks_now.groupBy("term").agg(F.sum("n").cast("long").alias("df"))
         tstats.write.mode("overwrite").parquet(os.path.join(self.root, "tstats"))
-        dstats.write.mode("overwrite").parquet(os.path.join(self.root, "dstats"))
-        # docs side table — result assembly (Search.java:325-345 joins the
-        # ranked ids back to the crawl table for url/title): every
-        # non-content column survives, keyed by doc_id
-        meta_cols = [c for c in corpus.columns if c != "content"]
-        corpus_ids.select("doc_id", *meta_cols).write.mode("overwrite").parquet(
-            os.path.join(self.root, "docs")
-        )
         phase_t["side_tables"] = time.perf_counter() - t0
-        dstats.unpersist()
         meta = {
             "N": N,
             "avgdl": avgdl,
@@ -380,7 +411,10 @@ class IndexSink:
             os.path.join(self.root, "blocks")
         )
         tstats = spark.read.parquet(os.path.join(self.root, "tstats"))
-        dstats = spark.read.parquet(os.path.join(self.root, "dstats"))
+        # doclen lives in the docs side table (written first, one pass)
+        dstats = spark.read.parquet(os.path.join(self.root, "docs")).select(
+            "doc_id", "doclen"
+        )
         return blocks, tstats, dstats, meta
 
     def docs(self, spark: SparkSession) -> DataFrame:

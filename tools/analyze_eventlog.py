@@ -1,0 +1,94 @@
+"""Summarize a Spark event log: per-stage wall duration, summed task
+time, task count, max task time, shuffle/input volumes — the data needed
+to see WHICH stage stops scaling when executors are added.
+
+Usage: python tools/analyze_eventlog.py <eventlog-file> [top_n]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+
+def main() -> None:
+    path = sys.argv[1]
+    top_n = int(sys.argv[2]) if len(sys.argv) > 2 else 25
+    stages: dict[tuple[int, int], dict] = {}
+    app_start = app_end = None
+    with open(path) as f:
+        for line in f:
+            try:
+                e = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            ev = e.get("Event")
+            if ev == "SparkListenerApplicationStart":
+                app_start = e.get("Timestamp")
+            elif ev == "SparkListenerApplicationEnd":
+                app_end = e.get("Timestamp")
+            elif ev == "SparkListenerStageCompleted":
+                si = e["Stage Info"]
+                key = (si["Stage ID"], si["Stage Attempt ID"])
+                st = stages.setdefault(key, {"task_ms": 0, "n_tasks": 0, "max_task": 0,
+                                             "shuffle_read": 0, "shuffle_write": 0,
+                                             "input": 0, "output": 0, "gc_ms": 0,
+                                             "ser_ms": 0, "py_ms": 0})
+                st["name"] = si["Stage Name"].split("\n")[0][:70]
+                st["wall_ms"] = (si.get("Completion Time", 0) or 0) - (si.get("Submission Time", 0) or 0)
+                st["submit"] = si.get("Submission Time")
+                st["complete"] = si.get("Completion Time")
+            elif ev == "SparkListenerTaskEnd":
+                key = (e["Stage ID"], e["Stage Attempt ID"])
+                st = stages.setdefault(key, {"task_ms": 0, "n_tasks": 0, "max_task": 0,
+                                             "shuffle_read": 0, "shuffle_write": 0,
+                                             "input": 0, "output": 0, "gc_ms": 0,
+                                             "ser_ms": 0, "py_ms": 0})
+                ti = e.get("Task Info", {})
+                dur = (ti.get("Finish Time", 0) or 0) - (ti.get("Launch Time", 0) or 0)
+                st["task_ms"] += dur
+                st["n_tasks"] += 1
+                st["max_task"] = max(st["max_task"], dur)
+                tm = e.get("Task Metrics") or {}
+                st["gc_ms"] += tm.get("JVM GC Time", 0)
+                st["ser_ms"] += tm.get("Result Serialization Time", 0)
+                sr = tm.get("Shuffle Read Metrics") or {}
+                st["shuffle_read"] += sr.get("Local Bytes Read", 0) + sr.get("Remote Bytes Read", 0)
+                sw = tm.get("Shuffle Write Metrics") or {}
+                st["shuffle_write"] += sw.get("Shuffle Bytes Written", 0)
+                st["input"] += (tm.get("Input Metrics") or {}).get("Bytes Read", 0)
+                st["output"] += (tm.get("Output Metrics") or {}).get("Bytes Written", 0)
+
+    total_wall = (app_end - app_start) / 1000 if app_start and app_end else None
+    rows = sorted(stages.items(), key=lambda kv: -kv[1].get("wall_ms", 0))[:top_n]
+    print(f"app wall: {total_wall}s  stages: {len(stages)}")
+    print(f"{'stage':>6} {'wall_s':>8} {'Σtask_s':>9} {'n':>5} {'max_s':>7} {'gc_s':>6} "
+          f"{'in_MB':>7} {'sh_r_MB':>8} {'sh_w_MB':>8} {'out_MB':>7}  name")
+    for (sid, _att), st in rows:
+        print(
+            f"{sid:>6} {st.get('wall_ms', 0)/1000:>8.1f} {st['task_ms']/1000:>9.1f} "
+            f"{st['n_tasks']:>5} {st['max_task']/1000:>7.1f} {st['gc_ms']/1000:>6.1f} "
+            f"{st['input']/1e6:>7.0f} {st['shuffle_read']/1e6:>8.0f} "
+            f"{st['shuffle_write']/1e6:>8.0f} {st['output']/1e6:>7.0f}  {st.get('name','?')}"
+        )
+    # gaps: time not covered by any running stage (driver-side serial)
+    ivs = sorted(
+        (st["submit"], st["complete"]) for st in stages.values()
+        if st.get("submit") and st.get("complete")
+    )
+    if ivs and app_start and app_end:
+        covered = 0
+        cur_s, cur_e = ivs[0]
+        for s, e in ivs[1:]:
+            if s > cur_e:
+                covered += cur_e - cur_s
+                cur_s, cur_e = s, e
+            else:
+                cur_e = max(cur_e, e)
+        covered += cur_e - cur_s
+        print(f"stage-covered wall: {covered/1000:.1f}s; uncovered (driver/serial gaps): "
+              f"{(app_end - app_start - covered)/1000:.1f}s")
+
+
+if __name__ == "__main__":
+    main()

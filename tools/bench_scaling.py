@@ -26,6 +26,10 @@ import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from search_engine_spark.sink import ENGINE_VERSION  # noqa: E402
+
 LEVELS = (1, 4)  # executors (×4 cores each) — or local[] cores with --local
 # Scaling runs use a larger corpus than the per-round bench so parallel
 # work dominates fixed per-job overheads (amortization, not inflation:
@@ -87,28 +91,45 @@ def main() -> None:
     results = {c: run_level(c, sf_dir, runs, local) for c in LEVELS}
     lo, hi = results[LEVELS[0]], results[LEVELS[1]]
 
-    # The host is shared: external tenants steal cores unpredictably, so
-    # any single invocation is a lottery on which level caught a quiet
-    # window. Persist every measurement and report each level at its BEST
-    # across history (same mode/levels/corpus) — the honest estimate of
-    # capability, with the full history kept alongside for audit.
+    # The HEADLINE efficiency is PAIRED: lo and hi from the SAME
+    # invocation (median across recorded invocations of the same
+    # mode/levels/corpus) — max/max across independent noisy runs can
+    # overstate N→4N scaling (round-1 advice). Per-level bests across
+    # history are kept as supplementary capability data only: the host is
+    # shared and external tenants steal cores unpredictably.
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     hist_path = os.path.join(REPO, "BENCH", "history.jsonl")
-    key = {"local": local, "levels": list(LEVELS), "n_docs": lo["n_docs"]}
+    # engine version in the key: pairing/medians must never mix
+    # measurements of different engine code (round-1 entries stay in the
+    # file as audit history but are excluded from the headline)
+    key = {
+        "local": local,
+        "levels": list(LEVELS),
+        "n_docs": lo["n_docs"],
+        "engine": ENGINE_VERSION,
+    }
     with open(hist_path, "a") as f:
         f.write(json.dumps({**key, "load0": load0, "lo": lo, "hi": hi}) + "\n")
-    n_hist = 0
+    paired = []  # (eff, lo, hi) per same-key invocation
+    best_lo, best_hi = lo, hi
     with open(hist_path) as f:
         for line in f:
             e = json.loads(line)
             if {k: e.get(k) for k in key} == key:
-                n_hist += 1
-                if e["lo"]["files_per_sec"] > lo["files_per_sec"]:
-                    lo = e["lo"]
-                if e["hi"]["files_per_sec"] > hi["files_per_sec"]:
-                    hi = e["hi"]
-
-    eff = (hi["files_per_sec"] / lo["files_per_sec"]) / (LEVELS[1] / LEVELS[0])
+                p_eff = (e["hi"]["files_per_sec"] / e["lo"]["files_per_sec"]) / (
+                    LEVELS[1] / LEVELS[0]
+                )
+                paired.append((p_eff, e["lo"], e["hi"]))
+                if e["lo"]["files_per_sec"] > best_lo["files_per_sec"]:
+                    best_lo = e["lo"]
+                if e["hi"]["files_per_sec"] > best_hi["files_per_sec"]:
+                    best_hi = e["hi"]
+    n_hist = len(paired)
+    paired.sort(key=lambda t: t[0])
+    eff, lo, hi = paired[len(paired) // 2]  # median paired invocation
+    best_eff = (best_hi["files_per_sec"] / best_lo["files_per_sec"]) / (
+        LEVELS[1] / LEVELS[0]
+    )
 
     if local:
         lo_label, hi_label = f"local[{LEVELS[0]}]", f"local[{LEVELS[1]}]"
@@ -146,7 +167,11 @@ only the executor count varies.
 | total wall (s) | {lo["value"]} | {hi["value"]} |
 
 **Scaling efficiency = ({hi["files_per_sec"]} / {lo["files_per_sec"]}) / 4
-= {eff:.3f}** (target ≥ 0.8)
+= {eff:.3f}** (target ≥ 0.8) — PAIRED: both levels from the same
+invocation, median of {n_hist} recorded invocation(s). Supplementary
+(per-level best across history, the round-1 headline convention):
+{best_lo["files_per_sec"]} → {best_hi["files_per_sec"]} files/sec,
+eff = {best_eff:.3f}.
 
 ## Per-query latency (s)
 
@@ -155,12 +180,12 @@ only the executor count varies.
 {q_rows}
 
 Recorded {datetime.datetime.now(datetime.timezone.utc).isoformat(timespec="seconds")} on the 32-core sandbox host.
-Each level reported at its best across {n_hist} recorded invocation(s) ×
-{runs} run(s)/level (full measurement history: BENCH/history.jsonl; host
-1-min load average before this invocation: {load0:.1f} — the host is
-shared and external tenants steal cores unpredictably, so per-level best
-is the honest capability estimate).
-Raw JSON (best per level):
+Headline = the median-efficiency PAIRED invocation across {n_hist}
+recorded invocation(s) × {runs} run(s)/level (full measurement history:
+BENCH/history.jsonl; host 1-min load average before this invocation:
+{load0:.1f} — the host is shared, so single invocations are noisy; the
+paired median is robust to one level catching a quiet window).
+Raw JSON (median paired invocation):
 
 ```json
 {json.dumps(lo)}
