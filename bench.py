@@ -29,12 +29,14 @@ import shutil
 import sys
 import time
 
+from pyspark.sql import functions as F
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from search_engine_spark import constants as C  # noqa: E402
 from search_engine_spark.corpus import generate_corpus  # noqa: E402
 from search_engine_spark.query import bm25_topk_blocks, normalize_query  # noqa: E402
-from search_engine_spark.session import build_session  # noqa: E402
+from search_engine_spark.session import EXECUTOR_CORES, build_session  # noqa: E402
 from search_engine_spark.sink import IndexSink  # noqa: E402
 
 N_DOCS_BY_SF = {"0.001": 500, "0.01": 5000, "0.1": 50000}
@@ -62,16 +64,35 @@ def ensure_corpus(spark, sf: str, n_docs: int, data_dir: str) -> str:
     return path
 
 
-def warmup(spark) -> None:
-    """Pay one-time cluster costs (executor registration, Python worker
-    import of numpy/pandas, codegen JIT) before the timed region — on a
-    real cluster these are paid at cluster start, not per job."""
-    import pandas as pd
-
-    df = spark.range(0, 10000, 1, 64)
-    df.mapInPandas(
-        lambda it: (pd.DataFrame({"id": p["id"]}) for p in it), schema="id long"
-    ).agg({"id": "sum"}).collect()
+def warmup(spark, corpus_path: str, data_dir: str) -> None:
+    """Pay one-time cluster costs before the timed region — executor
+    registration, Python worker imports, and above all HotSpot JIT of the
+    actual hot loops. A steady-state cluster is always warm; without
+    this, the first task wave of the timed build measures compilation,
+    not the engine (event-log evidence: first-wave tokenize tasks run
+    15-18 s vs a 4 s median on identical input sizes — at 16 cores that
+    cold wave is ~11% of the whole build, at 4 cores ~3%, silently
+    skewing any N→4N comparison). Warm-up = the REAL build end-to-end
+    (tokenize, agg, cache, varbyte encoder in the Python workers, zstd
+    parquet write/read, lineage) on a ~2k-doc slice, then one query."""
+    wpath = os.path.join(data_dir, "_warm_index")
+    shutil.rmtree(wpath, ignore_errors=True)
+    # hash-gate sample, NOT limit(): limit collapses to one partition and
+    # would JIT a single executor JVM; the gate keeps every scan split
+    # (and therefore every executor) populated
+    full = spark.read.parquet(corpus_path)
+    slice_df = full.where(
+        F.pmod(F.xxhash64("repo", "path", "commit"), F.lit(200)) == 0
+    )
+    sink = IndexSink(wpath, n_buckets=8)
+    sink.build(slice_df, buckets_per_wave=8)
+    _, tstats, _, meta = sink.read(spark)
+    terms, _w = normalize_query("warmup query def")
+    bm25_topk_blocks(
+        sink.blocks_for_terms(spark, terms), tstats, meta["N"], meta["avgdl"],
+        "warmup query def",
+    ).collect()
+    shutil.rmtree(wpath, ignore_errors=True)
 
 
 def main() -> None:
@@ -91,7 +112,7 @@ def main() -> None:
         cores, f"bench_sf{sf}", shuffle_partitions=64, executors=executors
     )
     corpus_path = ensure_corpus(spark, sf, n_docs, data_dir)
-    warmup(spark)
+    warmup(spark, corpus_path, data_dir)
 
     timings: dict[str, float] = {}
 
@@ -137,7 +158,7 @@ def main() -> None:
                 "queries": {k: round(v, 3) for k, v in timings.items()},
                 "sf": float(sf),
                 "n_docs": n_docs,
-                "cores": executors * 4 if executors else cores,
+                "cores": executors * EXECUTOR_CORES if executors else cores,
                 "executors": executors,
                 "files_per_sec": round(files_per_sec, 1),
                 "phases": build_phases,

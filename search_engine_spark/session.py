@@ -20,7 +20,13 @@ import os
 
 from pyspark.sql import SparkSession
 
-EXECUTOR_CORES = 4
+# Per-executor shape for local-cluster mode. Overridable because the
+# sandbox's single socket has a hard memory-bandwidth ceiling (~8 busy
+# cores; measured in tools/membench.py): executor-scaling runs pick a
+# cores-per-executor small enough that N→4N stays under that ceiling,
+# which is the faithful proxy for a real cluster where every added node
+# brings its own memory controllers.
+EXECUTOR_CORES = int(os.environ.get("SPARK_GRAFT_EXECUTOR_CORES", "4"))
 EXECUTOR_MEM_MB = 6144
 
 

@@ -41,6 +41,7 @@ import os
 import shutil
 import time
 import zlib
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -51,11 +52,10 @@ from .index import (
     INDEX_SCHEMA,
     _encoder_stream,
     corpus_stats,
-    doc_stats_direct,
     with_shard,
 )
 
-ENGINE_VERSION = "search_engine_spark-0.4"
+ENGINE_VERSION = "search_engine_spark-0.6"
 
 
 def term_bucket_py(term: str, n_buckets: int) -> int:
@@ -139,6 +139,53 @@ def _dir_bytes(path: str) -> int:
     return total
 
 
+@contextmanager
+def _scan_conf(spark, value: str):
+    """Temporarily pin spark.sql.files.maxPartitionBytes. The build tunes
+    splits FINE for the corpus-tokenize scans (see _tune_scan_granularity)
+    but the lineage read-back / tstats scans over the just-written index
+    want LARGE splits — hundreds of small block files pack into a handful
+    of tasks instead of one task per file."""
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes", None)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", value)
+    try:
+        yield
+    finally:
+        if old is not None:
+            spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+
+def _tune_scan_granularity(spark, corpus: DataFrame) -> str | None:
+    """Size parquet splits so the tokenize scan stage runs ~3 task waves
+    per core. The scan IS the explode-stage granularity (no rebalancing
+    exchange), so too-large splits cap the build's parallelism: at 16m a
+    268 MB corpus scans as ~37 tasks — 9 smooth waves on 4 cores but 2.3
+    ragged waves on 16, which alone costs ~15% N→4N scaling efficiency.
+    Scale-aware: bytes/(cores×3) clamped to [4m, 128m], so a 100 TB input
+    on a 1000-executor cluster lands back on Spark's 128m default and
+    small local runs get fine-grained, core-saturating splits. Returns
+    the tuned value (caller restores the old conf), or None when the
+    input is not a plain file scan."""
+    try:
+        files = corpus.inputFiles()
+    except Exception:
+        return None
+    total = 0
+    for f in files:
+        if f.startswith("file:"):
+            try:
+                total += os.path.getsize(f[len("file:") :])
+            except OSError:
+                return None
+    if not total:
+        return None
+    par = spark.sparkContext.defaultParallelism
+    target = min(max(total // (par * 3), 4 << 20), 128 << 20)
+    tuned = str(int(target))
+    spark.conf.set("spark.sql.files.maxPartitionBytes", tuned)
+    return tuned
+
+
 class IndexSink:
     """Filesystem layout::
 
@@ -177,6 +224,25 @@ class IndexSink:
 
         ``fail_after_waves`` is a test hook simulating a mid-build crash.
         """
+        spark = corpus.sparkSession
+        old_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes", None)
+        tuned = _tune_scan_granularity(spark, corpus)
+        try:
+            return self._build_inner(
+                corpus, buckets_per_wave, fail_after_waves, n_shards, url_cols
+            )
+        finally:
+            if tuned is not None and old_mpb is not None:
+                spark.conf.set("spark.sql.files.maxPartitionBytes", old_mpb)
+
+    def _build_inner(
+        self,
+        corpus: DataFrame,
+        buckets_per_wave: int,
+        fail_after_waves: int | None,
+        n_shards: int,
+        url_cols: tuple[str, ...] | None,
+    ) -> dict:
         t_start = time.perf_counter()
         phase_t: dict[str, float] = {}
         os.makedirs(os.path.join(self.root, "_manifest"), exist_ok=True)
@@ -194,64 +260,78 @@ class IndexSink:
         spark = corpus.sparkSession
         corpus_ids = with_doc_id(corpus)
 
-        # I/O-lean dataflow — TWO corpus scans total, no rebalancing
-        # shuffle (spark.sql.files.maxPartitionBytes is sized so parquet
-        # SPLITS are the task granularity — even input bytes → even
-        # explode work, no exchange needed):
-        #   scan 1  writes the docs side table (doc_id, metadata, doclen
-        #           via size(filtered token array) — narrow, no explode);
-        #           dstats and the N/avgdl scalars read back from it
-        #   scan 2  the encode job: tokenize ONCE → postings agg → stem
-        #           channel derived at the POSTING level (vocab =
-        #           distinct over the aggregated postings, reusing the
-        #           same exchange — NOT a second tokenize pass) → encode
+        # I/O-lean dataflow — ONE full corpus tokenize total, no
+        # rebalancing shuffle (spark.sql.files.maxPartitionBytes is sized
+        # so parquet SPLITS are the task granularity — even input bytes →
+        # even explode work, no exchange needed):
+        #   job 1   tokenize ONCE → (doc, term) postings agg → PERSIST;
+        #           doclen = Σtf per doc over the raw channel rides the
+        #           cached agg, left-joined onto a content-free metadata
+        #           scan (column pruning: the heavy content column is
+        #           never read) → docs side table; N/avgdl read back.
+        #           Round 1 spent a SECOND full tokenize pass here just
+        #           to size the token array — measured 65+ CPU-s at
+        #           sf0.1×400k and the worst-scaling phase of the build.
+        #   waves   stem channel derived at the POSTING level (vocab =
+        #           distinct over the cached postings — NOT another
+        #           tokenize), enrich, encode, commit.
         #   tstats  derived AFTER the build from the written blocks
         #           (df(term) = Σ n over block rows) — a free byproduct
         #           of the commit read-back
-        # The heavy (positions-bearing) postings frame is NEVER cached: a
+        # The heavy (positions-bearing) token stream is NEVER cached: a
         # multi-GB materialization is serial disk I/O at any executor
         # count (measured: caching capped scaling efficiency at ~0.4).
-        from .tokenize import _stem_udf, _token_array, full_text_col, tokenize, tokenize_url
+        from pyspark import StorageLevel
+
+        from .index import doc_postings
+        from .tokenize import _stem_udf, tokenize, tokenize_url
 
         t0 = time.perf_counter()
         meta_cols = [c for c in corpus.columns if c != "content"]
         docs_path = os.path.join(self.root, "docs")
-        # single narrow pass: doc_id + metadata + doclen
-        arr = (
-            _token_array(full_text_col("content", url_cols), truncate=False)
-            if url_cols
-            else _token_array(F.col("content"))
+        raw_tokens = (
+            tokenize_url(corpus_ids, url_cols) if url_cols else tokenize(corpus_ids)
         )
-        corpus_ids.select(
-            "doc_id", *meta_cols, F.size(arr).cast("int").alias("doclen")
-        ).write.mode("overwrite").parquet(docs_path)
+        postings_raw = doc_postings(raw_tokens)
+        if not url_cols:
+            postings_raw = postings_raw.withColumn("uf", F.lit(0))
+        # PERSIST the aggregated raw postings: four consumers follow
+        # (doclen agg, vocab distinct, stem-channel join, union-left).
+        # Without the cache, Catalyst column-prunes each branch into its
+        # own full corpus scan + tokenize (measured: 3 tokenize passes,
+        # ~2.4k CPU-s at sf0.1×8 — exchange reuse does NOT trigger across
+        # the differently-pruned subtrees). The cache is the AGGREGATED
+        # frame (compressed columnar, ≈ index-sized), NOT the ~20×
+        # larger token stream — caching tokens was measured at round 1
+        # to cap scaling efficiency at ~0.4; at cluster scale this
+        # spills to per-node local disk, the standard staging pattern.
+        postings_raw = postings_raw.persist(StorageLevel.MEMORY_AND_DISK)
+        # docs side table: metadata scan (content pruned away) left-joined
+        # with doclen from the cache; a doc whose tokens are ALL filtered
+        # has no postings row and keeps doclen 0 (oracle.py:44 semantics).
+        # Broadcast the doclen side while the doc count allows (12 B/doc —
+        # 5M docs ≈ 60 MB): a broadcast-hash join keeps the docs write a
+        # single narrow stage instead of a two-exchange sort-merge join.
+        # The guard count is metadata-speed: zero columns materialize, the
+        # parquet reader returns row-group counts.
+        doclen_df = postings_raw.groupBy("doc_id").agg(
+            F.sum("tf").cast("int").alias("doclen")
+        )
+        n_docs_est = corpus.count()
+        doclen_side = F.broadcast(doclen_df) if n_docs_est <= 5_000_000 else doclen_df
+        (
+            corpus_ids.select("doc_id", *meta_cols)
+            .join(doclen_side, "doc_id", "left")
+            .withColumn("doclen", F.coalesce(F.col("doclen"), F.lit(0)).cast("int"))
+            .write.mode("overwrite")
+            .parquet(docs_path)
+        )
         docs_tbl = spark.read.parquet(docs_path)
         dstats = docs_tbl.select("doc_id", "doclen")
         N, avgdl = corpus_stats(dstats)
         phase_t["doc_stats"] = time.perf_counter() - t0
 
         if pending:
-            from pyspark import StorageLevel
-
-            from .index import doc_postings
-
-            raw_tokens = (
-                tokenize_url(corpus_ids, url_cols) if url_cols else tokenize(corpus_ids)
-            )
-            postings_raw = doc_postings(raw_tokens)
-            if not url_cols:
-                postings_raw = postings_raw.withColumn("uf", F.lit(0))
-            # PERSIST the aggregated raw postings: three consumers follow
-            # (vocab distinct, stem-channel join, union-left). Without the
-            # cache, Catalyst column-prunes each branch into its own full
-            # corpus scan + tokenize (measured: 3 tokenize passes, ~2.4k
-            # CPU-s at sf0.1×8 — exchange reuse does NOT trigger across
-            # the differently-pruned subtrees). The cache is the AGGREGATED
-            # frame (compressed columnar, ≈ index-sized), NOT the ~20×
-            # larger token stream — caching tokens was measured at round 1
-            # to cap scaling efficiency at ~0.4; at cluster scale this
-            # spills to per-node local disk, the standard staging pattern.
-            postings_raw = postings_raw.persist(StorageLevel.MEMORY_AND_DISK)
             # stem channel at the POSTING level: vocabulary = distinct
             # terms of the cached postings, stems over the vocab only
             # (Arrow UDF), renamed rows join back broadcast. A raw term
@@ -334,8 +414,9 @@ class IndexSink:
                     time.perf_counter() - t_w
                 )
                 t_l = time.perf_counter()
-                written = spark.read.parquet(tmp)
-                stats = _bucket_lineage(written)
+                with _scan_conf(spark, str(128 << 20)):
+                    written = spark.read.parquet(tmp)
+                    stats = _bucket_lineage(written)
                 phase_t["lineage_readback"] = phase_t.get("lineage_readback", 0.0) + (
                     time.perf_counter() - t_l
                 )
@@ -372,14 +453,19 @@ class IndexSink:
             enriched.unpersist()
             postings_raw.unpersist()
             phase_t["encode_commit"] = time.perf_counter() - t0
+        else:
+            postings_raw.unpersist()
 
         # side tables + meta are cheap; (re)written last, unconditionally.
         # tstats (term → df) is a free byproduct of the committed blocks:
         # each block row covers n postings = n distinct docs for its term.
         t0 = time.perf_counter()
-        blocks_now = spark.read.parquet(blocks_root)
-        tstats = blocks_now.groupBy("term").agg(F.sum("n").cast("long").alias("df"))
-        tstats.write.mode("overwrite").parquet(os.path.join(self.root, "tstats"))
+        with _scan_conf(spark, str(128 << 20)):
+            blocks_now = spark.read.parquet(blocks_root)
+            tstats = blocks_now.groupBy("term").agg(
+                F.sum("n").cast("long").alias("df")
+            )
+            tstats.write.mode("overwrite").parquet(os.path.join(self.root, "tstats"))
         phase_t["side_tables"] = time.perf_counter() - t0
         meta = {
             "N": N,

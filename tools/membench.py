@@ -1,0 +1,79 @@
+"""Shared-hardware scaling ceiling probe for the sandbox host.
+
+Runs an identical, coordination-free CPU kernel (hash-mix + sort +
+diff over int64 arrays — the same instruction mix as the index build's
+hot path: hashing, shuffle-sort, varbyte encode) on k pinned cores
+simultaneously and reports per-worker time inflation vs 1 worker.
+
+Any inflation measured here is pure hardware (memory bandwidth / LLC
+contention on this VM's single socket) — there is no framework, no
+shuffle, no shared JVM. It therefore bounds the scaling efficiency ANY
+software can exhibit between those two core counts on this host, and
+motivates the 2-cores-per-executor protocol in tools/bench_scaling.py:
+1→4 executors × 2 cores = 2→8 busy cores, inside the flat region of
+the curve. On a real cluster each added node brings its own memory
+controllers, so node-scaling does not ride this single-socket artifact.
+
+Writes BENCH/membench.json; bench_scaling.py embeds it in BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import multiprocessing as mp
+import os
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _worker(core: int, q: mp.Queue, n: int) -> None:
+    os.sched_setaffinity(0, {core})
+    rng = np.random.default_rng(core)
+    a = rng.integers(0, 1 << 60, n, dtype=np.int64)
+    t0 = time.perf_counter()
+    for _ in range(30):
+        b = (a * np.int64(-7046029254386353131)) ^ (a >> 29)
+        c = np.sort(b % 1_000_003)
+        d = np.diff(c).astype(np.int64)
+        _ = int(d.sum())
+    q.put(time.perf_counter() - t0)
+
+
+def run(k: int, n: int) -> float:
+    q: mp.Queue = mp.Queue()
+    ps = [mp.Process(target=_worker, args=(i, q, n)) for i in range(k)]
+    for p in ps:
+        p.start()
+    ts = [q.get() for _ in ps]
+    for p in ps:
+        p.join()
+    return sum(ts) / len(ts)
+
+
+def main() -> None:
+    n = 2_000_000  # 16 MB/worker: streaming regime, like shuffle+encode
+    run(1, n)  # warm numpy / page-in
+    # best-of-3 per point: the host is shared, and a single co-tenant
+    # burst at one k poisons the whole curve otherwise
+    t1 = min(run(1, n) for _ in range(3))
+    curve = {}
+    for k in (2, 4, 8, 16, 32):
+        curve[k] = round(min(run(k, n) for _ in range(3)) / t1, 3)
+    out = {
+        "kernel": "hash-mix + sort + diff, int64[2M] (16MB/worker), 30 reps",
+        "t1_sec": round(t1, 3),
+        "per_worker_inflation_vs_1": curve,
+        "eff_cap_2c_to_8c": round(curve[2] / curve[8], 3),
+        "eff_cap_4c_to_16c": round(curve[4] / curve[16], 3),
+    }
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "membench.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
