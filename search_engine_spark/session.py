@@ -91,6 +91,15 @@ def build_session(
             .config("spark.executor.cores", str(EXECUTOR_CORES))
             # executor python workers must import this package
             .config("spark.executorEnv.PYTHONPATH", repo_root)
+            # tail-straggler insurance, multi-executor mode only (a lone
+            # slow task at a stage tail idles every other core; measured:
+            # a 15.8 s encode task vs 2.5 s median set one stage's wall).
+            # Safe here: the encoder is deterministic and writes go
+            # through the task-commit protocol, so a speculative twin is
+            # a no-op if the original wins.
+            .config("spark.speculation", "true")
+            .config("spark.speculation.quantile", "0.90")
+            .config("spark.speculation.multiplier", "2.0")
         )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

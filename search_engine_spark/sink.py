@@ -55,7 +55,7 @@ from .index import (
     with_shard,
 )
 
-ENGINE_VERSION = "search_engine_spark-0.6"
+ENGINE_VERSION = "search_engine_spark-0.7"
 
 
 def term_bucket_py(term: str, n_buckets: int) -> int:
@@ -284,7 +284,7 @@ class IndexSink:
         from pyspark import StorageLevel
 
         from .index import doc_postings
-        from .tokenize import _stem_udf, tokenize, tokenize_url
+        from .tokenize import stem_vocab, tokenize, tokenize_url
 
         t0 = time.perf_counter()
         meta_cols = [c for c in corpus.columns if c != "content"]
@@ -339,12 +339,7 @@ class IndexSink:
             # (term, doc) rows — merged inside the encoder after the
             # (term, shard) sort (index._encode_batch), so no extra
             # aggregation exchange is needed.
-            vocab = (
-                postings_raw.select("term")
-                .distinct()
-                .withColumn("stem", _stem_udf("term"))
-                .where(F.col("stem") != F.col("term"))
-            )
+            vocab = stem_vocab(postings_raw).where(F.col("stem") != F.col("term"))
             stemmed = postings_raw.join(F.broadcast(vocab), "term").select(
                 "doc_id", F.col("stem").alias("term"), "tf", "positions", "uf"
             )
