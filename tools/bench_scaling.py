@@ -32,17 +32,14 @@ sys.path.insert(0, REPO)
 from search_engine_spark.sink import ENGINE_VERSION  # noqa: E402
 
 LEVELS = (1, 4)  # executors — or local[] cores with --local
-# Cores per executor. Default 2: the sandbox's single socket has a hard
-# memory-bandwidth ceiling (tools/membench.py: per-core streaming
-# throughput is flat through ~8 busy cores, then collapses — 4→16 busy
-# cores inflates per-task CPU 1.8× with ZERO software coordination, a
-# hardware cap of ~0.55 on any 4c→16c scaling measurement). 1→4
-# executors × 2 cores = 2→8 busy cores stays under the ceiling, which is
-# the faithful proxy for a real cluster: every added node brings its own
-# memory controllers, so node-scaling never rides this single-socket
-# artifact. The 4-core protocol remains available via
-# SPARK_GRAFT_EXECUTOR_CORES=4 and is reported as supplementary data.
-EXEC_CORES = int(os.environ.get("SPARK_GRAFT_EXECUTOR_CORES", "2"))
+# Cores per executor (recorded protocol: 4 → the N→4N comparison spans
+# 4 vs 16 busy cores). tools/membench.py characterizes the host's own
+# multicore inflation so hardware contention on this shared single-socket
+# VM can be separated from engine scaling; the headline is the median of
+# paired invocations for the same reason. SPARK_GRAFT_EXECUTOR_CORES=2
+# selects a 2→8-core variant that stays further under the socket's
+# bandwidth ceiling (a real cluster adds memory controllers per node).
+EXEC_CORES = int(os.environ.get("SPARK_GRAFT_EXECUTOR_CORES", "4"))
 # Scaling runs use a larger corpus than the per-round bench so parallel
 # work dominates fixed per-job overheads (amortization, not inflation:
 # the target regime is 10^12 files, where fixed costs vanish entirely).
@@ -170,18 +167,21 @@ def main() -> None:
         infl = ", ".join(
             f"{k}c: {v}×" for k, v in mb["per_worker_inflation_vs_1"].items()
         )
-        hw_section = f"""## Hardware ceiling (why cores/executor = {EXEC_CORES})
+        hw_section = f"""## Hardware context (cores/executor = {EXEC_CORES})
 
 tools/membench.py runs an identical coordination-free kernel (hash-mix +
-sort + diff — the build's instruction mix) on k pinned cores at once.
-Per-worker time inflation vs 1 worker ({mb["kernel"]}):
-{infl}. With ZERO software coordination, the host's shared memory
-bandwidth alone caps 4c→16c scaling at {mb["eff_cap_4c_to_16c"]} but
-leaves 2c→8c at {mb["eff_cap_2c_to_8c"]}. A real cluster adds memory
-controllers with every node, so the 2-cores/executor protocol (1→4
-executors = 2→8 busy cores, inside the flat region) is the faithful
-proxy for node scaling; the saturated 4-cores/executor numbers are kept
-in BENCH/history.jsonl as supplementary data.
+sort + diff — the build's instruction mix) on k pinned cores at once and
+reports per-worker time inflation vs 1 worker ({mb["kernel"]}):
+{infl}. Any inflation here is pure shared hardware (memory bandwidth /
+LLC on this single-socket sandbox VM) — no framework, no shuffle — and
+bounds what ANY software can exhibit between those core counts
+(best-of-3 caps: 2c→8c {mb["eff_cap_2c_to_8c"]}, 4c→16c
+{mb["eff_cap_4c_to_16c"]}). The host is also multi-tenant: single-shot
+kernel runs during busy windows showed up to 1.9× inflation at 16
+cores, which is why the headline efficiency is the MEDIAN of paired
+invocations rather than any single run. A real cluster brings its own
+memory controllers with every node, so none of this single-socket
+contention exists on the 1000-executor target the engine is sized for.
 
 """
 
