@@ -55,7 +55,7 @@ from .index import (
     with_shard,
 )
 
-ENGINE_VERSION = "search_engine_spark-0.7"
+ENGINE_VERSION = "search_engine_spark-0.8"
 
 
 def term_bucket_py(term: str, n_buckets: int) -> int:

@@ -125,11 +125,20 @@ def stem_vocab(tokens: DataFrame) -> DataFrame:
     the round-2 event logs as 421 MB shipped to Python workers and 307
     CPU-s of Porter stemming over all 25M term OCCURRENCES at sf0.1×400k,
     a 40× waste over the ~600k distinct terms this function exists to
-    restrict the UDF to. The checkpoint materializes the vocabulary
-    (tiny: |vocab| ≪ occurrences by Zipf) and truncates lineage, so no
-    optimizer rule can relocate the UDF below the distinct."""
-    vocab = tokens.select("term").distinct().localCheckpoint()
-    return vocab.withColumn("stem", _stem_udf("term"))
+    restrict the UDF to. Checkpointing AFTER the UDF also stops a second
+    waste: a downstream filter referencing ``stem`` otherwise splits into
+    a pushed build-side filter plus a projection, each with its own
+    ArrowEvalPython — the stems are computed twice. Materializing
+    (term, stem) once means every downstream plan sees plain columns
+    over a Scan ExistingRDD: zero Python, nothing for any optimizer
+    rule to relocate. The vocabulary is tiny (|vocab| ≪ occurrences by
+    Zipf), so the materialization is a few MB."""
+    return (
+        tokens.select("term")
+        .distinct()
+        .withColumn("stem", _stem_udf("term"))
+        .localCheckpoint()
+    )
 
 
 def tokenize_with_stems(corpus: DataFrame, content_col: str = "content", id_col: str = "doc_id") -> DataFrame:

@@ -5,6 +5,7 @@ the surviving stream, MAX_WORD_LEN=20 drop, skip set (Indexer.java:33,36-38)."""
 
 from search_engine_spark import constants as C
 from search_engine_spark.oracle import tokenize_doc
+from search_engine_spark.stemmer import porter_stem
 from search_engine_spark.tokenize import tokenize
 
 
@@ -91,3 +92,30 @@ def test_doc_stats_from_postings_equals_raw_count(spark, corpus):
     }
     via_raw = {r["doc_id"]: r["doclen"] for r in doc_stats(tokenize(corpus)).collect()}
     assert via_postings == via_raw
+
+
+def test_stem_udf_stays_on_distinct_vocab(spark, corpus):
+    """Regression: Catalyst's PushDownPredicates treats a downstream
+    ``stem != term`` filter as a deterministic predicate on the grouping
+    key and will push it — plus the Arrow UDF it references — BELOW the
+    vocab distinct, running Porter over every term occurrence instead of
+    the distinct vocabulary (measured 40× Python CPU at sf0.1×400k).
+    stem_vocab()'s eager localCheckpoint is the barrier; this test pins
+    it by asserting the physical plan evaluates the UDF over a scan of
+    the checkpointed RDD with no aggregate or corpus scan beneath it."""
+    from pyspark.sql import functions as F
+
+    from search_engine_spark.tokenize import stem_vocab, tokenize
+
+    vocab = stem_vocab(tokenize(corpus)).where(F.col("stem") != F.col("term"))
+    plan = vocab._jdf.queryExecution().executedPlan().toString()
+    # downstream of stem_vocab the (term, stem) pairs are materialized
+    # data: plain columns over the checkpoint scan — zero Python, no
+    # aggregate, no corpus scan for any optimizer rule to push into
+    assert "Scan ExistingRDD" in plan, plan
+    assert "ArrowEvalPython" not in plan and "PythonUDF" not in plan, plan
+    assert "HashAggregate" not in plan, plan
+    assert "FileScan" not in plan, plan
+    # and the stems are real: a known stemming pair survives the filter
+    rows = {r["term"]: r["stem"] for r in vocab.collect()}
+    assert all(porter_stem(t) == s for t, s in rows.items())
