@@ -36,18 +36,32 @@ from . import constants as C
 from .codec import varbyte_encode_with_lengths
 
 
-def doc_postings(tokens: DataFrame) -> DataFrame:
+def doc_postings(tokens: DataFrame, compact: bool = False) -> DataFrame:
     """(doc_id, term, pos[, is_url]) → (doc_id, term, tf, positions
     [, uf]). One shuffle on (doc_id, term) with map-side partial
     aggregation. When tokens carry is_url (tokenize_url with_flag), the
     URL-bonus flag uf = max(is_url) rides the SAME aggregation — no extra
-    pass or join (Search.java:98 bonus, precomputed at build time)."""
+    pass or join (Search.java:98 bonus, precomputed at build time).
+
+    ``compact=True`` (the sink's scale path) narrows the wire types:
+    positions and tf to smallint, uf to tinyint. Safe by construction —
+    a position (and therefore any tf) is bounded by the tokenizer's
+    MAX_PAGE_LEN/MAX_URL_LEN truncation at ≲6.1k ≪ 32767 regardless of
+    corpus size. Positions dominate the bytes of the build's two big
+    data movements (the postings exchange/cache and the encode
+    exchange); halving the element width cuts real shuffle volume —
+    the currency of a distributed build — not just memory. The Arrow
+    batches reaching the block encoder carry int16/int8; the encoder
+    casts to the codec's uint64 explicitly, so encoded output is
+    byte-identical either way. Default False preserves the oracle-facing
+    int schema of the generic entries."""
+    pos_col = F.col("pos").cast("smallint") if compact else F.col("pos")
     aggs = [
-        F.count("*").cast("int").alias("tf"),
-        F.sort_array(F.collect_list("pos")).alias("positions"),
+        F.count("*").cast("smallint" if compact else "int").alias("tf"),
+        F.sort_array(F.collect_list(pos_col)).alias("positions"),
     ]
     if "is_url" in tokens.columns:
-        aggs.append(F.max("is_url").cast("int").alias("uf"))
+        aggs.append(F.max("is_url").cast("tinyint" if compact else "int").alias("uf"))
     return tokens.groupBy("doc_id", "term").agg(*aggs)
 
 

@@ -55,7 +55,7 @@ from .index import (
     with_shard,
 )
 
-ENGINE_VERSION = "search_engine_spark-0.8"
+ENGINE_VERSION = "search_engine_spark-0.9"
 
 
 def term_bucket_py(term: str, n_buckets: int) -> int:
@@ -292,9 +292,9 @@ class IndexSink:
         raw_tokens = (
             tokenize_url(corpus_ids, url_cols) if url_cols else tokenize(corpus_ids)
         )
-        postings_raw = doc_postings(raw_tokens)
+        postings_raw = doc_postings(raw_tokens, compact=True)
         if not url_cols:
-            postings_raw = postings_raw.withColumn("uf", F.lit(0))
+            postings_raw = postings_raw.withColumn("uf", F.lit(0).cast("tinyint"))
         # PERSIST the aggregated raw postings: four consumers follow
         # (doclen agg, vocab distinct, stem-channel join, union-left).
         # Without the cache, Catalyst column-prunes each branch into its
@@ -349,7 +349,10 @@ class IndexSink:
             # else fall back to a shuffle join. At 10^12 files the block
             # layout itself removes this join from the QUERY path (doclen
             # is baked into dl_bytes); this join only runs at build time.
-            dstats_side = F.broadcast(dstats) if N <= 5_000_000 else dstats
+            dstats_c = dstats.select(
+                "doc_id", F.col("doclen").cast("smallint").alias("doclen")
+            )
+            dstats_side = F.broadcast(dstats_c) if N <= 5_000_000 else dstats_c
             enriched = with_bucket(
                 with_shard(postings.join(dstats_side, "doc_id"), n_shards),
                 self.n_buckets,
