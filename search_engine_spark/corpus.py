@@ -80,19 +80,33 @@ CORPUS_SCHEMA = "repo string, path string, commit string, lang string, content s
 
 
 def generate_corpus(spark: SparkSession, n_docs: int, seed: int = C.SEED, partitions: int | None = None) -> DataFrame:
-    """Distributed corpus generation: each partition generates its slice."""
+    """Distributed corpus generation: each partition generates its slice.
+
+    Partition count scales with n_docs (~6250 rows ≈ 10 MB uncompressed
+    per output file) instead of capping at a fixed number: parquet row
+    groups are the atomic input-split unit downstream, so an oversized
+    corpus file becomes one unsplittable straggler task no matter what
+    ``maxPartitionBytes`` asks for (measured: a 32-partition 800k-doc
+    corpus produced 83 MB row groups and a 104 s max tokenize task vs a
+    24 s mean, idling 15 of 16 cores at the stage tail).
+    ``spark.range(..., numPartitions=partitions)`` puts exactly one
+    slice id in each partition — hash-repartitioning slice rows gave
+    2-slice/0-slice collisions (2× files) at any partition count.
+    Content is a pure function of (seed, doc index): layout never
+    changes the corpus."""
     if partitions is None:
-        partitions = max(1, min(32, n_docs // 250))
-    bounds = np.linspace(0, n_docs, partitions + 1, dtype=int)
-    slices = [(int(bounds[i]), int(bounds[i + 1])) for i in range(partitions)]
-    sl = spark.createDataFrame(slices, "start long, stop long").repartition(partitions, "start")
+        partitions = max(1, -(-n_docs // 6250))
+    ids = spark.range(0, partitions, 1, numPartitions=partitions)
 
     def gen(iterator):
         for pdf in iterator:
-            for _, r in pdf.iterrows():
-                yield generate_corpus_pdf(int(r.stop - r.start), seed=seed, start=int(r.start))
+            for pid in pdf["id"]:
+                start = int(pid) * n_docs // partitions
+                stop = (int(pid) + 1) * n_docs // partitions
+                if stop > start:
+                    yield generate_corpus_pdf(stop - start, seed=seed, start=start)
 
-    return sl.mapInPandas(gen, schema=CORPUS_SCHEMA)
+    return ids.mapInPandas(gen, schema=CORPUS_SCHEMA)
 
 
 def with_doc_id(df: DataFrame) -> DataFrame:
