@@ -1,15 +1,23 @@
 from .jobs import (
+    compact_store,
     incremental_index_stream,
+    live_doc_ids,
     read_corpus_stream,
     read_events_stream,
+    read_live_dstats,
+    read_live_postings,
     running_user_totals,
     windowed_event_counts,
 )
 
 __all__ = [
+    "compact_store",
     "incremental_index_stream",
+    "live_doc_ids",
     "read_corpus_stream",
     "read_events_stream",
+    "read_live_dstats",
+    "read_live_postings",
     "running_user_totals",
     "windowed_event_counts",
 ]

@@ -14,10 +14,14 @@ capabilities a continuously-ingesting 100 TB corpus needs:
   batch and plain append is a correct merge. Duplicate doc_ids (same
   repo/path/commit re-delivered, in-batch or across batches) are
   DROPPED before writing — in-batch dropDuplicates + anti-join against
-  committed ids — so aggregates never double-count; upsert-by-path for
-  CHANGED docs would need a MERGE sink (documented, out of scope).
-  ``Trigger.AvailableNow`` drains everything pending then stops, which is
-  both the test mode and the nightly-catch-up mode on a cluster.
+  committed ids — so aggregates never double-count. CHANGED docs (same
+  repo/path, new commit) are handled as a MERGE sink split LSM-style:
+  appends stay cheap, a tiny ``docmap`` ledger records every ingested
+  version, :func:`read_live_postings` masks superseded versions at read
+  time (merge-on-read), and :func:`compact_store` physically retires
+  them offline. ``Trigger.AvailableNow`` drains everything pending then
+  stops, which is both the test mode and the nightly-catch-up mode on a
+  cluster.
 - :func:`windowed_event_counts` — event-time tumbling windows with a
   watermark for late data.
 - :func:`running_user_totals` — custom stateful operator via
@@ -78,8 +82,8 @@ def incremental_index_stream(
         # batch or vs previously committed ids — would silently double its
         # postings rows and corrupt tf/doclen aggregates; dedup in-batch
         # and anti-join the ids already in the store. A CHANGED doc (same
-        # repo/path, new commit) gets a NEW doc_id and coexists — true
-        # upsert-by-path needs a MERGE sink (out of scope, documented).
+        # repo/path, new commit) gets a NEW doc_id and appends; the stale
+        # version is masked by read_live_* and retired by compact_store.
         ids = with_doc_id(batch_df).dropDuplicates(["doc_id"])
         import os
 
@@ -91,6 +95,12 @@ def incremental_index_stream(
         dstats = doc_stats(toks).withColumn("batch_id", F.lit(batch_id))
         postings.write.mode("append").parquet(f"{store_dir}/postings")
         dstats.write.mode("append").parquet(f"{store_dir}/dstats")
+        # docmap: the tiny (repo, path, commit, doc_id, batch_id) ledger
+        # that makes upsert-by-path resolvable at read time (live_doc_ids)
+        # and compactable offline (compact_store) — LSM merge-on-read.
+        ids.select("repo", "path", "commit", "doc_id").withColumn(
+            "batch_id", F.lit(batch_id)
+        ).write.mode("append").parquet(f"{store_dir}/docmap")
 
     return (
         stream.writeStream.foreachBatch(process_batch)
@@ -98,6 +108,77 @@ def incremental_index_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def live_doc_ids(spark: SparkSession, store_dir: str) -> DataFrame:
+    """Resolve upsert-by-path: for each (repo, path) the LATEST ingested
+    version wins — later batch beats earlier (batch_id is the stream's
+    monotonic ingest clock); within a batch the tie breaks on (commit,
+    doc_id) descending for determinism. This is the read-time half of a
+    MERGE sink (merge-on-read): the store stays append-only and cheap to
+    write, and this window — over the tiny docmap ledger, never the
+    postings — masks superseded versions. Reference analog: the
+    skip-by-probe in Indexer.java:213-229 avoided re-index of UNCHANGED
+    urls; this additionally retires CHANGED ones, which the reference
+    could not."""
+    from pyspark.sql.window import Window
+
+    dm = spark.read.parquet(f"{store_dir}/docmap")
+    w = Window.partitionBy("repo", "path").orderBy(
+        F.desc("batch_id"), F.desc("commit"), F.desc("doc_id")
+    )
+    return (
+        dm.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("doc_id")
+    )
+
+
+def read_live_postings(spark: SparkSession, store_dir: str) -> DataFrame:
+    """Postings with superseded document versions masked (merge-on-read):
+    a doc_id-keyed left-semi join against :func:`live_doc_ids`. One
+    shuffle on doc_id; AQE broadcasts the live-id side when it is small
+    relative to the postings scan."""
+    live = live_doc_ids(spark, store_dir)
+    return spark.read.parquet(f"{store_dir}/postings").join(live, "doc_id", "left_semi")
+
+
+def read_live_dstats(spark: SparkSession, store_dir: str) -> DataFrame:
+    live = live_doc_ids(spark, store_dir)
+    return spark.read.parquet(f"{store_dir}/dstats").join(live, "doc_id", "left_semi")
+
+
+def compact_store(spark: SparkSession, store_dir: str) -> dict:
+    """Offline compaction — the write-time half of the MERGE sink: rewrite
+    postings/dstats/docmap keeping only live doc versions, so read-time
+    masking goes back to a no-op and dead bytes are reclaimed. Standard
+    LSM/Delta-style maintenance: run between stream triggers (the stream
+    must be stopped, as with OPTIMIZE on a real lakehouse). The rewrite
+    lands in ``*.tmp`` siblings first and swaps in via rename, so a crash
+    mid-compact leaves the original store intact (single-FS semantics;
+    on a cluster the swap is the metastore transaction). Returns row
+    counts before/after for observability."""
+    import os
+    import shutil
+
+    live = live_doc_ids(spark, store_dir).cache()
+    stats = {}
+    for name in ("postings", "dstats", "docmap"):
+        src = f"{store_dir}/{name}"
+        if not os.path.isdir(src):
+            continue
+        df = spark.read.parquet(src)
+        before = df.count()
+        kept = df.join(live, "doc_id", "left_semi")
+        tmp = f"{src}.tmp"
+        kept.write.mode("overwrite").parquet(tmp)
+        old = f"{src}.old"
+        os.rename(src, old)
+        os.rename(tmp, src)
+        shutil.rmtree(old)
+        stats[name] = {"rows_before": before, "rows_after": spark.read.parquet(src).count()}
+    live.unpersist()
+    return stats
 
 
 def windowed_event_counts(

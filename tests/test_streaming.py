@@ -80,6 +80,69 @@ def test_incremental_index_matches_batch(spark, tmp_path):
     full.unpersist()
 
 
+def test_upsert_by_path_merge_on_read_and_compact(spark, tmp_path):
+    """MERGE semantics for CHANGED docs: v2 of a (repo, path) supersedes
+    v1 in the live view (merge-on-read), and compact_store physically
+    retires v1 so raw == live afterwards."""
+    from search_engine_spark.streaming import (
+        compact_store,
+        live_doc_ids,
+        read_live_dstats,
+        read_live_postings,
+    )
+
+    corpus_dir = str(tmp_path / "in")
+    store = str(tmp_path / "store")
+    os.makedirs(corpus_dir)
+    v1 = generate_corpus(spark, 60).cache()
+
+    v1.coalesce(1).write.mode("append").parquet(corpus_dir)
+    q = incremental_index_stream(spark, corpus_dir, store, str(tmp_path / "ck1"))
+    _await(q)
+
+    # new commits of 20 existing paths, with changed content
+    changed = (
+        v1.limit(20)
+        .withColumn("commit", F.concat(F.lit("v2-"), "commit"))
+        .withColumn("content", F.concat(F.lit("updated revision "), "content"))
+        .cache()
+    )
+    changed.coalesce(1).write.mode("append").parquet(corpus_dir)
+    q = incremental_index_stream(spark, corpus_dir, store, str(tmp_path / "ck1"))
+    _await(q)
+
+    # raw store holds BOTH versions; live view exactly one per path
+    assert spark.read.parquet(f"{store}/docmap").count() == 80
+    assert live_doc_ids(spark, store).count() == 60
+
+    # live postings == batch build over the latest corpus (v2 wins)
+    latest = changed.unionByName(v1.join(changed.select("repo", "path"), ["repo", "path"], "left_anti"))
+    expected = doc_postings(tokenize(with_doc_id(latest)))
+    key = lambda rows: {
+        (r["doc_id"], r["term"], r["tf"], tuple(r["positions"])) for r in rows
+    }
+    live_rows = key(
+        read_live_postings(spark, store).select("doc_id", "term", "tf", "positions").collect()
+    )
+    assert live_rows == key(expected.collect())
+    assert read_live_dstats(spark, store).count() == 60
+
+    # compaction: raw store shrinks to exactly the live rows
+    stats = compact_store(spark, store)
+    assert stats["docmap"]["rows_before"] == 80
+    assert stats["docmap"]["rows_after"] == 60
+    raw_rows = key(
+        spark.read.parquet(f"{store}/postings").select("doc_id", "term", "tf", "positions").collect()
+    )
+    assert raw_rows == live_rows
+    # live view is unchanged by compaction (masking became a no-op)
+    assert key(
+        read_live_postings(spark, store).select("doc_id", "term", "tf", "positions").collect()
+    ) == live_rows
+    v1.unpersist()
+    changed.unpersist()
+
+
 @pytest.fixture(scope="module")
 def events_dir(spark, tmp_path_factory):
     d = str(tmp_path_factory.mktemp("ev") / "in")
