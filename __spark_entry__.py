@@ -85,6 +85,23 @@ _DUPS_CTE = r"""dd AS (
   FROM documents)"""
 
 
+# shared 3-gram shingle / intersection CTEs over the dd fixture — used by
+# the jaccard_dedup oracle and (with a recursive closure on top) by
+# dedup_clusters; must match ops.dedup.token_shingles token-for-token.
+_JACCARD_CTES = r"""sh AS (SELECT DISTINCT doc_id, shingle FROM (
+              SELECT doc_id,
+                     unnest(list_transform(generate_series(1, greatest(len(arr)-2, 0)),
+                                           i -> array_to_string(arr[i:i+2], ' '))) AS shingle
+              FROM (SELECT doc_id,
+                           list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                       x -> x <> '') AS arr
+                    FROM dd))),
+            sz AS (SELECT doc_id, COUNT(*)::BIGINT AS n_sh FROM sh GROUP BY doc_id),
+            inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*)::BIGINT AS inter
+                      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2)"""
+
+
 def _lang_id_sql() -> str:
     """Replicates ops.textstats.language_id: marker-profile scores,
     argmax with lexicographic language tie-break."""
@@ -370,6 +387,16 @@ def q_jaccard_dedup(spark, sf_dir):
     from search_engine_spark.ops.dedup import jaccard_dup_pairs
 
     return jaccard_dup_pairs(_docs_with_dups(spark, sf_dir), n=3, threshold=0.5)
+
+
+def q_dedup_clusters(spark, sf_dir):
+    # pairs are only half of dedup: connected components over the
+    # jaccard near-dup graph pick one canonical doc per cluster
+    # (large-star/small-star; ops/dedup.py:dup_clusters)
+    from search_engine_spark.ops.dedup import dup_clusters, jaccard_dup_pairs
+
+    pairs = jaccard_dup_pairs(_docs_with_dups(spark, sf_dir), n=3, threshold=0.5)
+    return dup_clusters(pairs)
 
 
 def q_minhash_lsh(spark, sf_dir):
@@ -712,6 +739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "count": q_count,
         "exact_dedup": q_exact_dedup,
         "jaccard_dedup": q_jaccard_dedup,
+        "dedup_clusters": q_dedup_clusters,
         "minhash_lsh": q_minhash_lsh,
         "simhash_pairs": q_simhash_pairs,
         "embedding_dups": q_embedding_dups,
@@ -827,23 +855,35 @@ def oracle_sql() -> dict[str, str]:
         """,
         "jaccard_dedup": f"""
             WITH {_DUPS_CTE},
-            sh AS (SELECT DISTINCT doc_id, shingle FROM (
-              SELECT doc_id,
-                     unnest(list_transform(generate_series(1, greatest(len(arr)-2, 0)),
-                                           i -> array_to_string(arr[i:i+2], ' '))) AS shingle
-              FROM (SELECT doc_id,
-                           list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
-                                       x -> x <> '') AS arr
-                    FROM dd))),
-            sz AS (SELECT doc_id, COUNT(*)::BIGINT AS n_sh FROM sh GROUP BY doc_id),
-            inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*)::BIGINT AS inter
-                      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-                      GROUP BY 1, 2)
+            {_JACCARD_CTES}
             SELECT id_a, id_b,
                    ROUND(inter / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
             FROM inter
             JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
             WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.5
+        """,
+        "dedup_clusters": f"""
+            WITH RECURSIVE {_DUPS_CTE},
+            {_JACCARD_CTES},
+            pairs AS (SELECT id_a, id_b
+                      FROM inter
+                      JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+                      WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.5),
+            edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+                      UNION SELECT id_b, id_a FROM pairs),
+            -- reachability closure: (u, c) = "u can reach c"; UNION dedups
+            -- states so the recursion terminates; MIN over it = component id
+            walk(u, c) AS (
+              SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+              UNION
+              SELECT e.u, w.c FROM edges e JOIN walk w ON w.u = e.v
+            ),
+            comp AS (SELECT u AS doc_id, MIN(c) AS cluster_id FROM walk GROUP BY u),
+            sizes AS (SELECT cluster_id, COUNT(*)::BIGINT AS cluster_size
+                      FROM comp GROUP BY cluster_id)
+            SELECT doc_id, cluster_id, cluster_size,
+                   doc_id = cluster_id AS is_canonical
+            FROM comp JOIN sizes USING (cluster_id)
         """,
         "embedding_dups": """
             SELECT id_a, id_b, cosine FROM (

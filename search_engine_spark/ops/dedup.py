@@ -382,3 +382,70 @@ def embedding_dup_pairs_lsh(
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def dup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b") -> DataFrame:
+    """Near-dup PAIRS → duplicate CLUSTERS: connected components of the
+    pair graph, so a curation pipeline can keep exactly one doc per
+    cluster. Output: (doc_id, cluster_id, cluster_size, is_canonical)
+    for every doc that appears in some pair; cluster_id = min doc_id of
+    the component, is_canonical marks that doc (the "keep" row).
+
+    Algorithm: alternating large-star / small-star (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14) — the
+    shuffle-native CC formulation that converges in O(log^2 n) rounds
+    regardless of component diameter, unlike plain min-label propagation
+    whose round count is the graph DIAMETER (a pathological near-dup
+    chain doc_1 ~ doc_2 ~ ... ~ doc_n would need n rounds). Each round
+    is two self-contained groupBy/join exchanges on node id;
+    ``localCheckpoint`` cuts the iterative lineage exactly as in
+    :mod:`..ops.pagerank`. Reference analog: none — the reference's only
+    dedup is the crawler's exact content-seen probe
+    (Crawler.java:1349-1386); clustering is the training-data extension.
+    """
+    e = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .union(pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v")))
+        .distinct()
+    )
+
+    def star(edges: DataFrame, large: bool) -> DataFrame:
+        # m(u) = min over Γ(u) ∪ {u}; large-star relinks strictly-greater
+        # neighbors to m, small-star relinks the ≤-side (and u itself).
+        # Large-star sees the graph UNDIRECTED (symmetrize); small-star
+        # consumes large-star's output, already oriented larger→smaller.
+        if large:
+            edges = edges.union(
+                edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+            ).distinct()
+        m = edges.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        j = edges.join(m, "u")
+        side = F.col("v") > F.col("u") if large else F.col("v") <= F.col("u")
+        out = j.where(side).select(F.col("v").alias("u"), F.col("m").alias("v"))
+        if not large:
+            out = out.union(m.select("u", F.col("m").alias("v")))
+        return out.where(F.col("u") != F.col("v")).distinct()
+
+    for _ in range(50):  # ≥ log²(2^63) rounds; never binding in practice
+        nxt = star(star(e, large=True), large=False).localCheckpoint(eager=True)
+        # star-graph fixpoint: edge SET stable (distinct both sides, so
+        # two empty subtracts == set equality; count alone could alias)
+        if nxt.subtract(e).count() == 0 and e.subtract(nxt).count() == 0:
+            e = nxt
+            break
+        e = nxt
+
+    comp = e.groupBy("u").agg(F.min("v").alias("cluster_id"))
+    comp = comp.union(
+        comp.select(F.col("cluster_id").alias("u"), F.col("cluster_id"))
+    ).distinct()
+    sizes = comp.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return (
+        comp.join(sizes, "cluster_id")
+        .select(
+            F.col("u").alias("doc_id"),
+            "cluster_id",
+            "cluster_size",
+            (F.col("u") == F.col("cluster_id")).alias("is_canonical"),
+        )
+    )

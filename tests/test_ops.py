@@ -469,3 +469,42 @@ def test_pagerank_convergence_matches_python_oracle(spark):
     full, _ = _np_pagerank_converged(edges, 30, 0.0, 1.1)  # never converges early
     assert any(abs(full[n] - expect[n]) > 1e-9 for n in expect)
     assert all(v >= 0.15 - 1e-12 for v in got.values())
+
+
+def test_dup_clusters_connected_components(spark):
+    """large-star/small-star CC vs a Python union-find oracle, on a graph
+    with a long chain (the diameter case plain label-propagation handles
+    in O(diameter) rounds but star-contraction must solve in O(log^2))."""
+    from search_engine_spark.ops.dedup import dup_clusters
+
+    rng = np.random.default_rng(7)
+    # 40-node chain + random extra edges over 120 nodes + isolated pair
+    edges = [(i, i + 1) for i in range(40)]
+    edges += [
+        (int(a), int(b)) for a, b in rng.integers(50, 120, size=(60, 2)) if a != b
+    ]
+    edges += [(500, 501)]
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expect = {x: find(x) for x in parent}
+    sizes = {}
+    for x, c in expect.items():
+        sizes[c] = sizes.get(c, 0) + 1
+
+    out = dup_clusters(spark.createDataFrame(edges, "id_a long, id_b long")).collect()
+    got = {r["doc_id"]: (r["cluster_id"], r["cluster_size"], r["is_canonical"]) for r in out}
+    assert set(got) == set(expect)
+    for x, c in expect.items():
+        assert got[x] == (c, sizes[c], x == c), (x, got[x], (c, sizes[c]))
