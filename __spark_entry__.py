@@ -452,6 +452,17 @@ def q_ann_lsh_topk(spark, sf_dir):
     return lsh_cosine_topk(emb, _query_vecs(emb), k=10)
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    # IVF scale path: spherical-kmeans inverted lists, n_probe of
+    # n_clusters probed. Iterative quantizer → no SQL oracle; gated by
+    # the full-probe == brute-force identity and a planted-neighbor
+    # recall floor in tests/test_ops.py.
+    from search_engine_spark.ops.similarity import ivf_cosine_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return ivf_cosine_topk(emb, _query_vecs(emb), k=10, n_clusters=8, n_probe=4)
+
+
 def q_lang_id(spark, sf_dir):
     from search_engine_spark.ops.textstats import language_id
 
@@ -746,6 +757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dups_lsh": q_embedding_dups_lsh,
         "embedding_topk": q_embedding_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "lang_id": q_lang_id,
         "quality": q_quality,
         "token_counts": q_token_counts,

