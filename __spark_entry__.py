@@ -463,6 +463,23 @@ def q_ann_ivf_topk(spark, sf_dir):
     return ivf_cosine_topk(emb, _query_vecs(emb), k=10, n_clusters=8, n_probe=4)
 
 
+# training-mixture spec for the stratified-sample entry (per-lang keep
+# fractions; absent langs fall to the default) — shared with the oracle
+STRAT_FRACTIONS = {"en": 0.3, "de": 1.0, "zh": 0.1}
+STRAT_DEFAULT = 0.05
+
+
+def q_stratified_sample(spark, sf_dir):
+    # per-group deterministic hash-gate sample (training-mixture draw):
+    # row-local predicate, no shuffle, reproducible across engines
+    from search_engine_spark.ops.sampling import stratified_sample
+
+    d = _read(spark, sf_dir, "documents")
+    return stratified_sample(
+        d, STRAT_FRACTIONS, group_col="lang", id_col="doc_id", default_fraction=STRAT_DEFAULT
+    ).select("doc_id", "lang")
+
+
 def q_lang_id(spark, sf_dir):
     from search_engine_spark.ops.textstats import language_id
 
@@ -758,6 +775,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "stratified_sample": q_stratified_sample,
         "lang_id": q_lang_id,
         "quality": q_quality,
         "token_counts": q_token_counts,
@@ -947,6 +965,14 @@ def oracle_sql() -> dict[str, str]:
                                            ORDER BY cosine DESC, vec_id ASC)::BIGINT AS rank
               FROM scored)
             WHERE rank <= 10
+        """,
+        "stratified_sample": f"""
+            SELECT doc_id, lang FROM documents
+            WHERE CAST(('0x' || substr(md5('s0|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+              < CASE lang
+                  {' '.join(f"WHEN '{g}' THEN {int(f * (1 << 32))}" for g, f in sorted(STRAT_FRACTIONS.items()))}
+                  ELSE {int(STRAT_DEFAULT * (1 << 32))}
+                END
         """,
         "lang_id": _LANG_ID_SQL,
         "quality": _QUALITY_SQL,

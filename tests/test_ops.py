@@ -563,3 +563,39 @@ def test_ivf_partial_probe_recall_and_pruning(emb, queries_df):
     worst_two = sum(sorted(cluster_sizes.values())[-2:])
     assert worst_two < n_total, "quantizer must actually split the corpus"
     both.unpersist()
+
+
+def test_stratified_sample_deterministic_nested_and_calibrated(docs):
+    """Hash-gate sampling invariants: (1) re-running draws the identical
+    sample; (2) a smaller fraction is a strict SUBSET of a larger one at
+    the same salt (thresholds nest); (3) per-group keep rates land near
+    the requested fractions; (4) a different salt is an independent draw."""
+    from search_engine_spark.ops.sampling import stratified_sample
+
+    fr_small = {"en": 0.1, "de": 0.4}
+    fr_big = {"en": 0.3, "de": 0.9}
+    ids = lambda df: {r["doc_id"] for r in df.select("doc_id").collect()}
+
+    s1 = ids(stratified_sample(docs, fr_big, default_fraction=0.05))
+    s2 = ids(stratified_sample(docs, fr_big, default_fraction=0.05))
+    assert s1 == s2
+
+    small = ids(stratified_sample(docs, fr_small, default_fraction=0.02))
+    assert small < s1  # nested and strictly smaller
+
+    by_lang = {r["lang"]: r["count"] for r in docs.groupBy("lang").count().collect()}
+    got = (
+        stratified_sample(docs, fr_big, default_fraction=0.05)
+        .groupBy("lang")
+        .count()
+        .collect()
+    )
+    for r in got:
+        want = fr_big.get(r["lang"], 0.05)
+        n = by_lang[r["lang"]]
+        # binomial 4-sigma tolerance (+1 row slack for tiny groups)
+        tol = 4 * (want * (1 - want) * n) ** 0.5 + 1
+        assert abs(r["count"] - want * n) <= tol, (r["lang"], r["count"], want * n)
+
+    redraw = ids(stratified_sample(docs, fr_big, default_fraction=0.05, salt="s1"))
+    assert redraw != s1 and len(redraw) > 0
