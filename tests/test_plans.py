@@ -1,0 +1,101 @@
+"""Physical-plan regression gates for the scale claims in PLANS.md:
+each test pins the plan SHAPE (what shuffles, what broadcasts, what
+stays JVM-side), not timings — the properties that decide whether an
+operator survives a 100× scale-up. Complements the per-stage audit in
+tools/dump_plans.py and the stemmer plan gate in test_tokenizer.py."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_spark.corpus import generate_corpus, with_doc_id
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+    d.count()
+    return d
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_stratified_sample_is_shuffle_free_and_jvm_side(docs):
+    """The sampling gate must stay a row-local JVM predicate: no
+    Exchange (the whole point — membership never needs a shuffle) and
+    no Python evaluation (md5/conv are builtins)."""
+    from search_engine_spark.ops.sampling import stratified_sample
+
+    plan = _plan(stratified_sample(docs, {"en": 0.3}, default_fraction=0.05))
+    assert "Exchange" not in plan, plan
+    assert "ArrowEvalPython" not in plan and "PythonUDF" not in plan, plan
+
+
+def test_result_assembly_broadcasts_ranked_side(spark):
+    """search_results joins the ≤k ranked rows back to the corpus; the
+    plan must broadcast the tiny ranked side (BroadcastHashJoin), never
+    sort-merge the corpus against it."""
+    import __spark_entry__ as E
+
+    df = E.queries()["search_results"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_lsh_dedup_has_no_cartesian_and_flat_plan_size(spark):
+    """embedding_dup_pairs_lsh: candidates come from a (table, code)
+    equi-join — the plan must contain no cartesian/nested-loop join, and
+    its node count must be flat in the embedding dimension (hyperplanes
+    ship inside the UDF closure, not as plan literals)."""
+    from search_engine_spark.ops.dedup import embedding_dup_pairs_lsh
+
+    def mk(dim):
+        rows = [(i, [float((i * 31 + j) % 7 - 3) for j in range(dim)]) for i in range(30)]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        return embedding_dup_pairs_lsh(emb, threshold=0.9, dim=dim)
+
+    p_small, p_large = _plan(mk(8)), _plan(mk(768))
+    for p in (p_small, p_large):
+        assert "CartesianProduct" not in p, p
+        assert "BroadcastNestedLoopJoin" not in p, p
+    # flat in dim: a 96× larger vector must not grow the plan text
+    # beyond noise (plan literals would scale it ~linearly in dim)
+    assert len(p_large) < 1.2 * len(p_small), (len(p_small), len(p_large))
+
+
+def test_ivf_probe_is_broadcast_equi_join(spark):
+    """IVF probe: query→cluster rows broadcast into an equi-join on the
+    cluster id; no shuffle of the corpus side before candidate scoring
+    (the only Exchange is the per-query top-k window)."""
+    from search_engine_spark.ops.similarity import ivf_cosine_topk
+
+    rng = np.random.default_rng(1)
+    rows = [(i, [float(x) for x in rng.standard_normal(16)]) for i in range(60)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qs = spark.createDataFrame(rows[:3], "query_id long, q_vec array<double>")
+    plan = _plan(ivf_cosine_topk(emb, qs, k=5, n_clusters=4, n_probe=2))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_bm25_df_path_single_doc_shuffle(spark):
+    """BM25 DataFrame path: idf/doclen ride broadcasts; the only
+    exchanges are the doc_id score fold and the final top-k — the corpus
+    postings are never joined by sort-merge."""
+    from search_engine_spark.index import build_index_frames, corpus_stats
+    from search_engine_spark.query import bm25_score_terms
+
+    corpus = with_doc_id(generate_corpus(spark, 200))
+    _, postings, dstats, tstats = build_index_frames(corpus)
+    N, avgdl = corpus_stats(dstats)
+    df = bm25_score_terms(postings, dstats, tstats, N, avgdl, ["join", "scan"], 1.0, 10)
+    plan = _plan(df)
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
