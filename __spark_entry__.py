@@ -161,6 +161,70 @@ def _quality_sql() -> str:
     """
 
 
+# curation_pipeline mixture spec (per-pred_lang keep fractions, quality
+# floor) — shared between the Spark entry and the oracle SQL
+CURATE_FRACTIONS = {"en": 0.5, "de": 1.0, "fr": 0.2}
+CURATE_DEFAULT = 0.1
+CURATE_MIN_QUALITY = 0.5
+
+
+def _curation_sql() -> str:
+    """The SQL twin of ops.curation.curate over the exact-copy fixture:
+    dedup (min-id canonical per identical text) → one-pass annotate
+    (ops/textstats.py:annotate) → quality floor → per-pred_lang md5
+    hash-gate mixture draw (ops/sampling.py:stratified_sample)."""
+    from search_engine_spark.ops.textstats import LANG_PROFILES, QUALITY_STOPWORDS
+
+    langs = sorted(LANG_PROFILES)
+    score_cols = ",\n              ".join(
+        "CASE WHEN len(arr) > 0 THEN len(list_filter(arr, x -> list_contains(["
+        + ", ".join(f"'{m}'" for m in LANG_PROFILES[lang])
+        + f"], x))) / len(arr) ELSE 0.0 END AS s_{lang}"
+        for lang in langs
+    )
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    pred = "CASE " + " ".join(f"WHEN s_{lang} = best THEN '{lang}'" for lang in langs) + " END"
+    stops = ", ".join(f"'{w}'" for w in QUALITY_STOPWORDS)
+    gate_case = " ".join(
+        f"WHEN '{g}' THEN {int(f * (1 << 32))}" for g, f in sorted(CURATE_FRACTIONS.items())
+    )
+    return f"""
+        WITH ddx AS (SELECT doc_id, text FROM documents
+                     UNION ALL
+                     SELECT doc_id + 500000 AS doc_id, text FROM documents),
+        dedup AS (SELECT MIN(doc_id) AS doc_id, text FROM ddx GROUP BY text),
+        t AS (SELECT doc_id, text, length(text)::BIGINT AS n_chars,
+                     list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                 x -> x <> '') AS arr
+              FROM dedup),
+        s AS (SELECT doc_id, n_chars,
+              {score_cols},
+              len(arr)::BIGINT AS n_toks,
+              CASE WHEN len(arr) > 0
+                   THEN len(list_filter(arr, x -> list_contains([{stops}], x))) / len(arr)
+                   ELSE 0.0 END AS stop_ratio,
+              CASE WHEN n_chars > 0
+                   THEN (n_chars - length(regexp_replace(text, '[0-9]', '', 'g'))) / n_chars
+                   ELSE 0.0 END AS digit_ratio,
+              CASE WHEN len(arr) > 0
+                   THEN list_sum(list_transform(arr, x -> length(x))) / len(arr)
+                   ELSE 0.0 END AS mean_tok_len
+              FROM t),
+        b AS (SELECT *, {best} AS best FROM s),
+        ann AS (SELECT doc_id, {pred} AS pred_lang, n_toks,
+                       ROUND(0.4 * (CASE WHEN n_chars BETWEEN 50 AND 5000 THEN 1.0 ELSE 0.5 END)
+                             + 0.3 * least(stop_ratio * 5, 1.0)
+                             + 0.2 * (1.0 - digit_ratio)
+                             + 0.1 * greatest(least((mean_tok_len - 2) / 5, 1.0), 0.0), 6)
+                         AS quality
+                FROM b)
+        SELECT doc_id, pred_lang, quality, n_toks FROM ann
+        WHERE quality >= {CURATE_MIN_QUALITY}
+          AND CAST(('0x' || substr(md5('s0|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+              < CASE pred_lang {gate_case} ELSE {int(CURATE_DEFAULT * (1 << 32))} END
+    """
+
+
 def _pagerank3_sql() -> str:
     """3 unrolled PageRank iterations over the lineitem-derived graph —
     the SQL twin of ops.pagerank.pagerank(fixed_iters=3)."""
@@ -191,6 +255,7 @@ def _pagerank3_sql() -> str:
 _LANG_ID_SQL = _lang_id_sql()
 _QUALITY_SQL = _quality_sql()
 _PAGERANK3_SQL = _pagerank3_sql()
+_CURATION_SQL = _curation_sql()
 
 
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -478,6 +543,24 @@ def q_stratified_sample(spark, sf_dir):
     return stratified_sample(
         d, STRAT_FRACTIONS, group_col="lang", id_col="doc_id", default_fraction=STRAT_DEFAULT
     ).select("doc_id", "lang")
+
+
+def q_curation_pipeline(spark, sf_dir):
+    # end-to-end training-data curation: exact dedup (the one shuffle) →
+    # one-pass lang+quality annotate → quality floor → per-lang
+    # deterministic mixture draw. Fixture plants byte-identical copies
+    # (doc_id+500000) so the dedup stage demonstrably removes them.
+    from search_engine_spark.ops.curation import curate
+
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    raw = d.union(d.select((F.col("doc_id") + 500000).alias("doc_id"), "text"))
+    out = curate(
+        raw,
+        CURATE_FRACTIONS,
+        min_quality=CURATE_MIN_QUALITY,
+        default_fraction=CURATE_DEFAULT,
+    )
+    return out.select("doc_id", "pred_lang", "quality", "n_toks")
 
 
 def q_lang_id(spark, sf_dir):
@@ -776,6 +859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "stratified_sample": q_stratified_sample,
+        "curation_pipeline": q_curation_pipeline,
         "lang_id": q_lang_id,
         "quality": q_quality,
         "token_counts": q_token_counts,
@@ -974,6 +1058,7 @@ def oracle_sql() -> dict[str, str]:
                   ELSE {int(STRAT_DEFAULT * (1 << 32))}
                 END
         """,
+        "curation_pipeline": _CURATION_SQL,
         "lang_id": _LANG_ID_SQL,
         "quality": _QUALITY_SQL,
         "token_counts": r"""

@@ -41,13 +41,38 @@ def _tok_arr(text_col):
     )
 
 
-def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """(id, text) → (doc_id, pred_lang, lang_score). Score per language =
-    #occurrences of its marker words / #tokens; prediction = argmax with
-    lexicographic language tie-break (deterministic). Narrow plan: the
-    whole classifier is one projection over the scan."""
+def annotate(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, text, …) → every per-doc text annotation in ONE projection
+    chain (no join, no shuffle): language scores → argmax pred_lang, and
+    the quality features + composite score. ``language_id`` and
+    ``quality_score`` are selects over this frame, and the curation
+    pipeline (ops/curation.py) consumes it directly so annotating a
+    100 TB corpus is a single narrow pass over the scan.
+
+    Output columns added: pred_lang, lang_score, n_chars, n_toks,
+    stop_ratio, digit_ratio, mean_tok_len, quality.
+
+      len_score      1 if 50 ≤ n_chars ≤ 5000 else 0.5 (too short/long)
+      stop_ratio     fraction of tokens in a small stopword set
+      digit_ratio    fraction of characters that are digits
+      mean_tok_len   mean token length
+      quality = 0.4·len_score + 0.3·min(stop_ratio·5, 1)
+              + 0.2·(1 − digit_ratio) + 0.1·clamp((mean_tok_len−2)/5, 0, 1)
+      lang score per language = #marker-word occurrences / #tokens;
+      pred_lang = argmax with lexicographic tie-break (deterministic).
+
+    The quality formula is arbitrary-but-fixed (the point is the
+    pipeline shape); it mirrors published heuristic filters
+    (C4/Gopher-style)."""
     arr = _tok_arr(F.col(text_col))
-    scored = df.select(F.col(id_col).alias("doc_id"), arr.alias("toks"))
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.length(text_col).alias("n_chars"),
+        arr.alias("toks"),
+        (F.length(text_col) - F.length(F.regexp_replace(F.col(text_col), r"[0-9]", ""))).alias(
+            "n_digits"
+        ),
+    )
     score_cols = [
         F.when(
             F.size("toks") > 0,
@@ -58,39 +83,10 @@ def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         .alias(f"s_{lang}")
         for lang in sorted(LANG_PROFILES)
     ]
-    scored = scored.select("doc_id", *score_cols)
-    # argmax via greatest + case (ties resolve to the first language in
-    # sorted order because of strict > comparisons in order)
-    best = F.greatest(*[F.col(f"s_{lang}") for lang in sorted(LANG_PROFILES)])
-    pred = F.lit(None).cast("string")
-    for lang in sorted(LANG_PROFILES, reverse=True):
-        pred = F.when(F.col(f"s_{lang}") == best, F.lit(lang)).otherwise(pred)
-    return scored.select("doc_id", pred.alias("pred_lang"), F.round(best, 6).alias("lang_score"))
-
-
-def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """(id, text) → per-doc quality features + a composite score in [0,1]:
-
-      len_score      1 if 50 ≤ n_chars ≤ 5000 else 0.5 (too short/long)
-      stop_ratio     fraction of tokens in a small stopword set
-      digit_ratio    fraction of characters that are digits
-      mean_tok_len   mean token length
-      score = 0.4·len_score + 0.3·min(stop_ratio·5, 1)
-            + 0.2·(1 − digit_ratio) + 0.1·clamp((mean_tok_len−2)/5, 0, 1)
-
-    The exact formula is arbitrary-but-fixed (the point is the pipeline
-    shape); it mirrors published heuristic filters (C4/Gopher-style)."""
-    arr = _tok_arr(F.col(text_col))
-    base = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.length(text_col).alias("n_chars"),
-        arr.alias("toks"),
-        (F.length(text_col) - F.length(F.regexp_replace(F.col(text_col), r"[0-9]", ""))).alias(
-            "n_digits"
-        ),
-    ).select(
+    derived = base.select(
         "doc_id",
         "n_chars",
+        *score_cols,
         F.size("toks").alias("n_toks"),
         F.when(
             F.size("toks") > 0,
@@ -109,6 +105,12 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
         .otherwise(F.lit(0.0))
         .alias("mean_tok_len"),
     )
+    # argmax via greatest + case (ties resolve to the first language in
+    # sorted order because the reversed chain leaves the earliest match)
+    best = F.greatest(*[F.col(f"s_{lang}") for lang in sorted(LANG_PROFILES)])
+    pred = F.lit(None).cast("string")
+    for lang in sorted(LANG_PROFILES, reverse=True):
+        pred = F.when(F.col(f"s_{lang}") == best, F.lit(lang)).otherwise(pred)
     len_score = F.when((F.col("n_chars") >= 50) & (F.col("n_chars") <= 5000), 1.0).otherwise(0.5)
     score = (
         0.4 * len_score
@@ -116,14 +118,32 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
         + 0.2 * (1.0 - F.col("digit_ratio"))
         + 0.1 * F.greatest(F.least((F.col("mean_tok_len") - 2) / 5, F.lit(1.0)), F.lit(0.0))
     )
-    return base.select(
+    return derived.select(
         "doc_id",
+        pred.alias("pred_lang"),
+        F.round(best, 6).alias("lang_score"),
         "n_chars",
         F.col("n_toks").cast("long").alias("n_toks"),
         F.round("stop_ratio", 6).alias("stop_ratio"),
         F.round("digit_ratio", 6).alias("digit_ratio"),
         F.round("mean_tok_len", 6).alias("mean_tok_len"),
         F.round(score, 6).alias("quality"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, text) → (doc_id, pred_lang, lang_score). Score per language =
+    #occurrences of its marker words / #tokens; prediction = argmax with
+    lexicographic language tie-break (deterministic). Narrow plan: the
+    whole classifier is one projection over the scan (see ``annotate``)."""
+    return annotate(df, text_col, id_col).select("doc_id", "pred_lang", "lang_score")
+
+
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, text) → per-doc quality features + a composite score in
+    [0,1]; see ``annotate`` for the formula. One narrow projection."""
+    return annotate(df, text_col, id_col).select(
+        "doc_id", "n_chars", "n_toks", "stop_ratio", "digit_ratio", "mean_tok_len", "quality"
     )
 
 

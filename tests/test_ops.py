@@ -599,3 +599,19 @@ def test_stratified_sample_deterministic_nested_and_calibrated(docs):
 
     redraw = ids(stratified_sample(docs, fr_big, default_fraction=0.05, salt="s1"))
     assert redraw != s1 and len(redraw) > 0
+
+
+def test_curation_dedup_keeps_min_id_canonical_and_payload(spark):
+    """exact_dedup_keep_payload collapses byte-identical texts to the
+    min-id row WITH its text (no join-back), and curate() therefore
+    never emits a planted copy (id >= 500000 in the entry fixture)."""
+    from search_engine_spark.ops.curation import curate, exact_dedup_keep_payload
+
+    rows = [(1, "the table row value"), (2, "der hash und group"), (3, "the table row value")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["text"] for r in exact_dedup_keep_payload(df).collect()}
+    assert got == {1: "the table row value", 2: "der hash und group"}
+
+    out = curate(df, {"en": 1.0, "de": 1.0}, min_quality=0.0, default_fraction=1.0)
+    assert {r["doc_id"] for r in out.select("doc_id").collect()} == {1, 2}
+    assert {r["pred_lang"] for r in out.collect()} == {"en", "de"}

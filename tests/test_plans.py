@@ -99,3 +99,16 @@ def test_bm25_df_path_single_doc_shuffle(spark):
     plan = _plan(df)
     assert "SortMergeJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_curation_pipeline_single_shuffle_jvm_side(docs):
+    """curate(): the ONLY exchange end-to-end is the dedup hash
+    aggregation (annotate, the quality floor, and the mixture gate are
+    all narrow projections/filters), and nothing drops to Python."""
+    from search_engine_spark.ops.curation import curate
+
+    plan = _plan(curate(docs.select("doc_id", "text"), {"en": 0.5}, default_fraction=0.1))
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, plan
+    assert "ArrowEvalPython" not in plan and "PythonUDF" not in plan, plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan, plan
