@@ -545,6 +545,26 @@ def q_stratified_sample(spark, sf_dir):
     ).select("doc_id", "lang")
 
 
+def q_decontaminate(spark, sf_dir):
+    # benchmark-overlap decontamination: the 5 lowest-id docs stand in
+    # for a held-out eval set; corpus docs sharing any 3-token shingle
+    # with them are flagged. Benchmark shingles broadcast — the corpus
+    # side never shuffles for the join.
+    from search_engine_spark.ops.decontam import decontaminate
+
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = d.orderBy("doc_id").limit(5)
+    return decontaminate(d, bench, n=3, min_hits=1)
+
+
+def q_pack_sequences(spark, sf_dir):
+    # offset-packing into 256-token training sequences, 32-way
+    # hash-bucketed (one exchange, no global sort)
+    from search_engine_spark.ops.packing import pack_sequences
+
+    return pack_sequences(_read(spark, sf_dir, "documents"), budget=256, n_buckets=32)
+
+
 def q_curation_pipeline(spark, sf_dir):
     # end-to-end training-data curation: exact dedup (the one shuffle) →
     # one-pass lang+quality annotate → quality floor → per-lang
@@ -860,6 +880,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "stratified_sample": q_stratified_sample,
         "curation_pipeline": q_curation_pipeline,
+        "decontaminate": q_decontaminate,
+        "pack_sequences": q_pack_sequences,
         "lang_id": q_lang_id,
         "quality": q_quality,
         "token_counts": q_token_counts,
@@ -1059,6 +1081,43 @@ def oracle_sql() -> dict[str, str]:
                 END
         """,
         "curation_pipeline": _CURATION_SQL,
+        "decontaminate": r"""
+            WITH bench AS (SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 5),
+            barr AS (SELECT doc_id,
+                            list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                        x -> x <> '') AS arr
+                     FROM bench),
+            bsh AS (SELECT DISTINCT
+                      unnest(list_transform(generate_series(1, greatest(len(arr)-2, 0)),
+                                            i -> array_to_string(arr[i:i+2], ' '))) AS shingle
+                    FROM barr),
+            carr AS (SELECT doc_id,
+                            list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                        x -> x <> '') AS arr
+                     FROM documents),
+            csh AS (SELECT DISTINCT doc_id,
+                      unnest(list_transform(generate_series(1, greatest(len(arr)-2, 0)),
+                                            i -> array_to_string(arr[i:i+2], ' '))) AS shingle
+                    FROM carr),
+            hits AS (SELECT doc_id, COUNT(*)::BIGINT AS n_hits
+                     FROM csh JOIN bsh USING (shingle) GROUP BY doc_id)
+            SELECT d.doc_id, coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+                   coalesce(h.n_hits, 0) >= 1 AS contaminated
+            FROM documents d LEFT JOIN hits h USING (doc_id)
+        """,
+        "pack_sequences": r"""
+            WITH b AS (SELECT doc_id, (doc_id % 32)::INT AS bucket,
+                              len(list_filter(regexp_split_to_array(text, '\s+'),
+                                              x -> x <> ''))::BIGINT AS n_tokens
+                       FROM documents),
+            c AS (SELECT *, SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+                            AS cum_before
+                  FROM b)
+            SELECT doc_id, bucket, (cum_before // 256)::BIGINT AS seq_id, n_tokens,
+                   (cum_before % 256)::BIGINT AS seq_offset
+            FROM c
+        """,
         "lang_id": _LANG_ID_SQL,
         "quality": _QUALITY_SQL,
         "token_counts": r"""

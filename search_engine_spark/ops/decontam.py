@@ -1,0 +1,63 @@
+"""Benchmark decontamination: flag corpus documents that share n-gram
+shingles with an evaluation/benchmark set.
+
+Standard LLM-corpus hygiene (the "13-gram overlap" rule popularized by
+GPT-3's appendix and used by most open corpora): any training document
+that contains an exact n-token shingle from a held-out benchmark is
+flagged so it can be dropped or audited before training.
+
+Scale shape (the reason this is its own operator and not a generic
+join): the benchmark side is TINY (thousands of eval documents) while
+the corpus is the 100 TB side — so the benchmark's distinct shingles are
+**broadcast** and the corpus shingles stream through a broadcast hash
+join without ever shuffling; the only exchange is the final per-doc
+partial aggregation of hit counts. The corpus side reuses
+:func:`search_engine_spark.ops.dedup.token_shingles` (same tokenizer,
+same DISTINCT semantics), so engine and oracle share one shingle
+definition.
+
+The reference has no decontamination stage (its corpus is the crawl
+itself); this is part of the training-data surface the builder brief
+mandates beyond reference parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from .dedup import token_shingles
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    min_hits: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(corpus, benchmark) → (doc_id, n_hits, contaminated) for every
+    corpus doc: ``n_hits`` = number of DISTINCT n-token shingles of the
+    doc that appear anywhere in the benchmark set; ``contaminated`` =
+    n_hits ≥ min_hits. Docs with no overlap are reported with
+    n_hits = 0 (left join — the output covers the whole corpus so the
+    clean set is ``where(~contaminated)`` with no anti-join needed)."""
+    c_sh = token_shingles(corpus, n=n, text_col=text_col, id_col=id_col)
+    b_sh = (
+        token_shingles(benchmark, n=n, text_col=text_col, id_col=id_col)
+        .select("shingle")
+        .distinct()
+    )
+    hits = (
+        c_sh.join(broadcast(b_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    ids = corpus.select(F.col(id_col).alias("doc_id"))
+    return ids.join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+        (F.coalesce("n_hits", F.lit(0)) >= F.lit(min_hits)).alias("contaminated"),
+    )

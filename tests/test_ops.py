@@ -615,3 +615,29 @@ def test_curation_dedup_keeps_min_id_canonical_and_payload(spark):
     out = curate(df, {"en": 1.0, "de": 1.0}, min_quality=0.0, default_fraction=1.0)
     assert {r["doc_id"] for r in out.select("doc_id").collect()} == {1, 2}
     assert {r["pred_lang"] for r in out.collect()} == {"en", "de"}
+
+
+def test_pack_sequences_budget_bound_and_determinism(spark):
+    """Offset packing: every sequence's token load stays within
+    budget ± max_doc_tokens, doc order within a sequence is doc_id,
+    and the assignment is bit-stable across runs."""
+    from search_engine_spark.ops.packing import pack_sequences
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = pack_sequences(docs, budget=256, n_buckets=8).collect()
+    assert len(out) == docs.count()
+    max_doc = max(r["n_tokens"] for r in out)
+    loads = {}
+    for r in out:
+        loads[(r["bucket"], r["seq_id"])] = loads.get((r["bucket"], r["seq_id"]), 0) + r["n_tokens"]
+        assert 0 <= r["seq_offset"] < 256
+    # every sequence except possibly the last of each bucket is filled
+    # to at least budget - max_doc + 1 and never beyond budget + max_doc - 1
+    last = {b: max(s for bb, s in loads if bb == b) for b, _ in loads}
+    for (b, s), load in loads.items():
+        assert load <= 256 + max_doc - 1, (b, s, load)
+        if s != last[b]:
+            assert load >= 256 - max_doc + 1, (b, s, load)
+
+    again = pack_sequences(docs, budget=256, n_buckets=8).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))

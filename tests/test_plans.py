@@ -112,3 +112,26 @@ def test_curation_pipeline_single_shuffle_jvm_side(docs):
     assert n_exchanges == 1, plan
     assert "ArrowEvalPython" not in plan and "PythonUDF" not in plan, plan
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan, plan
+
+
+def test_decontaminate_broadcasts_benchmark_side(docs, spark):
+    """The benchmark shingle set must ride a broadcast into the corpus
+    scan (BroadcastHashJoin); a sort-merge there would shuffle the
+    100 TB corpus against a kilobyte-scale eval set."""
+    from search_engine_spark.ops.decontam import decontaminate
+
+    bench = docs.select("doc_id", "text").orderBy("doc_id").limit(5)
+    plan = _plan(decontaminate(docs.select("doc_id", "text"), bench, n=3))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_pack_sequences_bucket_window_no_global_sort(docs):
+    """Packing must window per bucket: one hash exchange, and never an
+    Exchange SinglePartition (a global window would serialize the whole
+    corpus through one task)."""
+    from search_engine_spark.ops.packing import pack_sequences
+
+    plan = _plan(pack_sequences(docs, budget=256, n_buckets=32))
+    assert "Exchange SinglePartition" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
