@@ -604,6 +604,13 @@ def q_quality(spark, sf_dir):
     )
 
 
+def q_repetition_stats(spark, sf_dir):
+    # Gopher repetition filters: top-token / top-bigram mass fractions
+    from search_engine_spark.ops.textstats import repetition_stats
+
+    return repetition_stats(_read(spark, sf_dir, "documents"))
+
+
 def q_token_counts(spark, sf_dir):
     from search_engine_spark.ops.textstats import token_counts
 
@@ -884,6 +891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "lang_id": q_lang_id,
         "quality": q_quality,
+        "repetition_stats": q_repetition_stats,
         "token_counts": q_token_counts,
         "fingerprints": q_fingerprints,
         "multimodal_features": q_multimodal_features,
@@ -1120,6 +1128,31 @@ def oracle_sql() -> dict[str, str]:
         """,
         "lang_id": _LANG_ID_SQL,
         "quality": _QUALITY_SQL,
+        "repetition_stats": r"""
+            WITH t AS (SELECT doc_id,
+                              list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                          x -> x <> '') AS arr
+                       FROM documents),
+            u AS (SELECT doc_id, 'u' AS kind, unnest(arr) AS gram FROM t
+                  UNION ALL
+                  SELECT doc_id, 'b' AS kind,
+                         unnest(list_transform(generate_series(1, greatest(len(arr)-1, 0)),
+                                               i -> array_to_string(arr[i:i+1], ' '))) AS gram
+                  FROM t),
+            c AS (SELECT doc_id, kind, gram, COUNT(*)::BIGINT AS n FROM u GROUP BY doc_id, kind, gram),
+            k AS (SELECT doc_id, kind, MAX(n) AS top, SUM(n) AS tot FROM c GROUP BY doc_id, kind),
+            p AS (SELECT doc_id,
+                         MAX(CASE WHEN kind = 'u' THEN top END) AS ut,
+                         MAX(CASE WHEN kind = 'u' THEN tot END) AS un,
+                         MAX(CASE WHEN kind = 'b' THEN top END) AS bt,
+                         MAX(CASE WHEN kind = 'b' THEN tot END) AS bn
+                  FROM k GROUP BY doc_id)
+            SELECT d.doc_id,
+                   coalesce(un, 0)::BIGINT AS n_toks,
+                   ROUND(coalesce(ut / un, 0.0), 6) AS top_tok_frac,
+                   ROUND(coalesce(bt / bn, 0.0), 6) AS top_bigram_frac
+            FROM documents d LEFT JOIN p USING (doc_id)
+        """,
         "token_counts": r"""
             SELECT doc_id,
                    len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))::BIGINT AS n_ws_tokens,

@@ -177,3 +177,52 @@ def fingerprints(
         F.col(id_col).alias("doc_id"),
         F.array_min(grams).alias("fingerprint"),
     )
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, text) → (doc_id, n_toks, top_tok_frac, top_bigram_frac):
+    Gopher-style repetition filters — the fraction of the document's
+    token mass taken by its single most frequent token and by its most
+    frequent token bigram (boilerplate / generated-spam markers; docs
+    above ~0.2 / ~0.1 are typically dropped).
+
+    Scale shape: unigrams and bigrams are tagged and exploded from ONE
+    scan, then counted with two-stage partial aggregations keyed
+    (doc_id, kind, gram) → (doc_id, kind) → (doc_id) — the same shape as
+    the postings build, skew-bounded by the per-doc gram keys. A final
+    left join from the corpus ids covers empty docs with zeros (same
+    edge-case contract as doc_stats)."""
+    arr = _tok_arr(F.col(text_col))
+    big_cnt = F.size(arr) - 1
+    bigrams = F.when(
+        big_cnt > 0,
+        F.transform(F.sequence(F.lit(1), big_cnt), lambda i: F.concat_ws(" ", F.slice(arr, i, 2))),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.concat(
+                F.transform(arr, lambda t: F.struct(F.lit("u").alias("kind"), t.alias("gram"))),
+                F.transform(bigrams, lambda t: F.struct(F.lit("b").alias("kind"), t.alias("gram"))),
+            )
+        ).alias("g"),
+    ).select("doc_id", F.col("g.kind").alias("kind"), F.col("g.gram").alias("gram"))
+    per_kind = (
+        grams.groupBy("doc_id", "kind", "gram")
+        .agg(F.count("*").alias("n"))
+        .groupBy("doc_id", "kind")
+        .agg(F.max("n").alias("top"), F.sum("n").alias("tot"))
+    )
+    p = per_kind.groupBy("doc_id").agg(
+        F.max(F.when(F.col("kind") == "u", F.col("top"))).alias("ut"),
+        F.max(F.when(F.col("kind") == "u", F.col("tot"))).alias("un"),
+        F.max(F.when(F.col("kind") == "b", F.col("top"))).alias("bt"),
+        F.max(F.when(F.col("kind") == "b", F.col("tot"))).alias("bn"),
+    )
+    ids = df.select(F.col(id_col).alias("doc_id"))
+    return ids.join(p, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("un", F.lit(0)).cast("long").alias("n_toks"),
+        F.round(F.coalesce(F.col("ut") / F.col("un"), F.lit(0.0)), 6).alias("top_tok_frac"),
+        F.round(F.coalesce(F.col("bt") / F.col("bn"), F.lit(0.0)), 6).alias("top_bigram_frac"),
+    )

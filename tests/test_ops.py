@@ -641,3 +641,18 @@ def test_pack_sequences_budget_bound_and_determinism(spark):
 
     again = pack_sequences(docs, budget=256, n_buckets=8).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_repetition_stats_edges(spark):
+    """Planted cases: a one-token spam doc scores 1.0/1.0, a no-repeat
+    doc scores 1/n, an empty doc is covered with zeros."""
+    from search_engine_spark.ops.textstats import repetition_stats
+
+    rows = [(1, "spam spam spam spam"), (2, "a b c d"), (3, "   "), (4, "x y x y x y")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    assert got[1]["top_tok_frac"] == 1.0 and got[1]["top_bigram_frac"] == 1.0
+    assert got[2]["n_toks"] == 4 and got[2]["top_tok_frac"] == 0.25
+    assert got[3]["n_toks"] == 0 and got[3]["top_tok_frac"] == 0.0 and got[3]["top_bigram_frac"] == 0.0
+    # 'x y' appears 3 of 5 bigrams
+    assert got[4]["top_bigram_frac"] == 0.6
