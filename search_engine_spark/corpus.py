@@ -93,9 +93,19 @@ def generate_corpus(spark: SparkSession, n_docs: int, seed: int = C.SEED, partit
     slice id in each partition — hash-repartitioning slice rows gave
     2-slice/0-slice collisions (2× files) at any partition count.
     Content is a pure function of (seed, doc index): layout never
-    changes the corpus."""
+    changes the corpus.
+
+    Besides the row-group-size ceiling, the file count is also a
+    parallelism FLOOR for every downstream scan (a 33 MB sf0.1 corpus in
+    22 files ran the tokenize stage as 22 tasks on 32 cores — 0.7 ragged
+    waves, the whole stage waiting on its slowest task). So the count
+    also scales with the session's core count (~3 task waves/core),
+    bounded below by ~200 docs/file so tiny test corpora stay
+    single-file."""
     if partitions is None:
-        partitions = max(1, -(-n_docs // 6250))
+        by_size = max(1, -(-n_docs // 6250))
+        by_cores = min(3 * spark.sparkContext.defaultParallelism, max(1, n_docs // 200))
+        partitions = max(by_size, by_cores)
     ids = spark.range(0, partitions, 1, numPartitions=partitions)
 
     def gen(iterator):
