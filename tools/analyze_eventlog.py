@@ -11,12 +11,33 @@ import json
 import sys
 
 
+def _open_eventlog(path: str):
+    """Accept a plain JSONL file, a Spark 'eventlog_v2_*' rolling dir, or
+    a .zstd-compressed event file (Spark compresses when
+    spark.eventLog.compress or rolling logs are on)."""
+    import glob
+    import os
+
+    if os.path.isdir(path):
+        cands = sorted(glob.glob(os.path.join(path, "events_*"))) or sorted(
+            glob.glob(os.path.join(path, "*"))
+        )
+        path = cands[0]
+    if path.endswith(".zstd"):
+        import io
+        import subprocess
+
+        out = subprocess.run(["zstd", "-d", "-q", "-c", path], capture_output=True, check=True)
+        return io.StringIO(out.stdout.decode("utf-8"))
+    return open(path)
+
+
 def main() -> None:
     path = sys.argv[1]
     top_n = int(sys.argv[2]) if len(sys.argv) > 2 else 25
     stages: dict[tuple[int, int], dict] = {}
     app_start = app_end = None
-    with open(path) as f:
+    with _open_eventlog(path) as f:
         for line in f:
             try:
                 e = json.loads(line)
