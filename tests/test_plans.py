@@ -135,3 +135,16 @@ def test_pack_sequences_bucket_window_no_global_sort(docs):
     plan = _plan(pack_sequences(docs, budget=256, n_buckets=32))
     assert "Exchange SinglePartition" not in plan, plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_corpus_generation_scales_partitions_with_cores(spark):
+    """The corpus file count is the downstream scan-parallelism floor:
+    a large corpus must generate >= 3 slices per core, while tiny test
+    corpora stay compact (bounded by ~200 docs/file)."""
+    from search_engine_spark.corpus import generate_corpus
+
+    par = spark.sparkContext.defaultParallelism
+    big = generate_corpus(spark, 50_000)
+    assert big.rdd.getNumPartitions() >= min(3 * par, 250)
+    tiny = generate_corpus(spark, 200)
+    assert tiny.rdd.getNumPartitions() == 1
