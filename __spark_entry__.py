@@ -102,9 +102,17 @@ _JACCARD_CTES = r"""sh AS (SELECT DISTINCT doc_id, shingle FROM (
                       GROUP BY 1, 2)"""
 
 
-def _lang_id_sql() -> str:
-    """Replicates ops.textstats.language_id: marker-profile scores,
-    argmax with lexicographic language tie-break."""
+# ---- shared SQL fragments for the textstats annotate() twins --------
+# ONE definition each of the lang-score columns, the argmax, the quality
+# features, and the composite-quality expression, consumed by the
+# lang_id, quality, and curation_pipeline oracles (the Spark side shares
+# them the same way through ops.textstats.annotate).
+
+
+def _lang_score_fragments() -> tuple[str, str, str]:
+    """(score_cols, best, pred): per-language marker-score columns over
+    an ``arr`` token array, the greatest() argmax, and the
+    lexicographic-tie-break CASE — ops.textstats.annotate semantics."""
     from search_engine_spark.ops.textstats import LANG_PROFILES
 
     langs = sorted(LANG_PROFILES)
@@ -116,10 +124,42 @@ def _lang_id_sql() -> str:
     )
     best = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
     pred = "CASE " + " ".join(f"WHEN s_{lang} = best THEN '{lang}'" for lang in langs) + " END"
+    return score_cols, best, pred
+
+
+def _quality_feature_cols_sql() -> str:
+    """stop_ratio / digit_ratio / mean_tok_len column expressions over
+    (text, n_chars, arr) — ops.textstats.annotate semantics."""
+    from search_engine_spark.ops.textstats import QUALITY_STOPWORDS
+
+    stops = ", ".join(f"'{w}'" for w in QUALITY_STOPWORDS)
+    return f"""CASE WHEN len(arr) > 0
+                   THEN len(list_filter(arr, x -> list_contains([{stops}], x))) / len(arr)
+                   ELSE 0.0 END AS stop_ratio,
+              CASE WHEN n_chars > 0
+                   THEN (n_chars - length(regexp_replace(text, '[0-9]', '', 'g'))) / n_chars
+                   ELSE 0.0 END AS digit_ratio,
+              CASE WHEN len(arr) > 0
+                   THEN list_sum(list_transform(arr, x -> length(x))) / len(arr)
+                   ELSE 0.0 END AS mean_tok_len"""
+
+
+_QUALITY_EXPR_SQL = """ROUND(0.4 * (CASE WHEN n_chars BETWEEN 50 AND 5000 THEN 1.0 ELSE 0.5 END)
+                     + 0.3 * least(stop_ratio * 5, 1.0)
+                     + 0.2 * (1.0 - digit_ratio)
+                     + 0.1 * greatest(least((mean_tok_len - 2) / 5, 1.0), 0.0), 6)"""
+
+_TOK_ARR_SQL = """list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                      x -> x <> '')"""
+
+
+def _lang_id_sql() -> str:
+    """Replicates ops.textstats.language_id: marker-profile scores,
+    argmax with lexicographic language tie-break."""
+    score_cols, best, pred = _lang_score_fragments()
     return f"""
         WITH t AS (SELECT doc_id,
-                          list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
-                                      x -> x <> '') AS arr
+                          {_TOK_ARR_SQL} AS arr
                    FROM documents),
         s AS (SELECT doc_id,
               {score_cols}
@@ -130,33 +170,18 @@ def _lang_id_sql() -> str:
 
 
 def _quality_sql() -> str:
-    from search_engine_spark.ops.textstats import QUALITY_STOPWORDS
-
-    stops = ", ".join(f"'{w}'" for w in QUALITY_STOPWORDS)
     return f"""
         WITH t AS (SELECT doc_id, text, length(text)::BIGINT AS n_chars,
-                          list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
-                                      x -> x <> '') AS arr
+                          {_TOK_ARR_SQL} AS arr
                    FROM documents),
         b AS (SELECT doc_id, n_chars, len(arr)::BIGINT AS n_toks,
-              CASE WHEN len(arr) > 0
-                   THEN len(list_filter(arr, x -> list_contains([{stops}], x))) / len(arr)
-                   ELSE 0.0 END AS stop_ratio,
-              CASE WHEN n_chars > 0
-                   THEN (n_chars - length(regexp_replace(text, '[0-9]', '', 'g'))) / n_chars
-                   ELSE 0.0 END AS digit_ratio,
-              CASE WHEN len(arr) > 0
-                   THEN list_sum(list_transform(arr, x -> length(x))) / len(arr)
-                   ELSE 0.0 END AS mean_tok_len
+              {_quality_feature_cols_sql()}
               FROM t)
         SELECT doc_id, n_chars, n_toks,
                ROUND(stop_ratio, 6) AS stop_ratio,
                ROUND(digit_ratio, 6) AS digit_ratio,
                ROUND(mean_tok_len, 6) AS mean_tok_len,
-               ROUND(0.4 * (CASE WHEN n_chars BETWEEN 50 AND 5000 THEN 1.0 ELSE 0.5 END)
-                     + 0.3 * least(stop_ratio * 5, 1.0)
-                     + 0.2 * (1.0 - digit_ratio)
-                     + 0.1 * greatest(least((mean_tok_len - 2) / 5, 1.0), 0.0), 6) AS quality
+               {_QUALITY_EXPR_SQL} AS quality
         FROM b
     """
 
@@ -172,19 +197,10 @@ def _curation_sql() -> str:
     """The SQL twin of ops.curation.curate over the exact-copy fixture:
     dedup (min-id canonical per identical text) → one-pass annotate
     (ops/textstats.py:annotate) → quality floor → per-pred_lang md5
-    hash-gate mixture draw (ops/sampling.py:stratified_sample)."""
-    from search_engine_spark.ops.textstats import LANG_PROFILES, QUALITY_STOPWORDS
-
-    langs = sorted(LANG_PROFILES)
-    score_cols = ",\n              ".join(
-        "CASE WHEN len(arr) > 0 THEN len(list_filter(arr, x -> list_contains(["
-        + ", ".join(f"'{m}'" for m in LANG_PROFILES[lang])
-        + f"], x))) / len(arr) ELSE 0.0 END AS s_{lang}"
-        for lang in langs
-    )
-    best = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
-    pred = "CASE " + " ".join(f"WHEN s_{lang} = best THEN '{lang}'" for lang in langs) + " END"
-    stops = ", ".join(f"'{w}'" for w in QUALITY_STOPWORDS)
+    hash-gate mixture draw (ops/sampling.py:stratified_sample).
+    Every annotate fragment is shared with the lang_id/quality oracles
+    (one definition; see _lang_score_fragments etc. above)."""
+    score_cols, best, pred = _lang_score_fragments()
     gate_case = " ".join(
         f"WHEN '{g}' THEN {int(f * (1 << 32))}" for g, f in sorted(CURATE_FRACTIONS.items())
     )
@@ -194,29 +210,16 @@ def _curation_sql() -> str:
                      SELECT doc_id + 500000 AS doc_id, text FROM documents),
         dedup AS (SELECT MIN(doc_id) AS doc_id, text FROM ddx GROUP BY text),
         t AS (SELECT doc_id, text, length(text)::BIGINT AS n_chars,
-                     list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
-                                 x -> x <> '') AS arr
+                     {_TOK_ARR_SQL} AS arr
               FROM dedup),
-        s AS (SELECT doc_id, n_chars,
+        s AS (SELECT doc_id, text, n_chars,
               {score_cols},
               len(arr)::BIGINT AS n_toks,
-              CASE WHEN len(arr) > 0
-                   THEN len(list_filter(arr, x -> list_contains([{stops}], x))) / len(arr)
-                   ELSE 0.0 END AS stop_ratio,
-              CASE WHEN n_chars > 0
-                   THEN (n_chars - length(regexp_replace(text, '[0-9]', '', 'g'))) / n_chars
-                   ELSE 0.0 END AS digit_ratio,
-              CASE WHEN len(arr) > 0
-                   THEN list_sum(list_transform(arr, x -> length(x))) / len(arr)
-                   ELSE 0.0 END AS mean_tok_len
+              {_quality_feature_cols_sql()}
               FROM t),
         b AS (SELECT *, {best} AS best FROM s),
         ann AS (SELECT doc_id, {pred} AS pred_lang, n_toks,
-                       ROUND(0.4 * (CASE WHEN n_chars BETWEEN 50 AND 5000 THEN 1.0 ELSE 0.5 END)
-                             + 0.3 * least(stop_ratio * 5, 1.0)
-                             + 0.2 * (1.0 - digit_ratio)
-                             + 0.1 * greatest(least((mean_tok_len - 2) / 5, 1.0), 0.0), 6)
-                         AS quality
+                       {_QUALITY_EXPR_SQL} AS quality
                 FROM b)
         SELECT doc_id, pred_lang, quality, n_toks FROM ann
         WHERE quality >= {CURATE_MIN_QUALITY}
@@ -1114,7 +1117,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN hits h USING (doc_id)
         """,
         "pack_sequences": r"""
-            WITH b AS (SELECT doc_id, (doc_id % 32)::INT AS bucket,
+            WITH b AS (SELECT doc_id, (((doc_id % 32) + 32) % 32)::INT AS bucket,
                               len(list_filter(regexp_split_to_array(text, '\s+'),
                                               x -> x <> ''))::BIGINT AS n_tokens
                        FROM documents),

@@ -49,22 +49,33 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return h.join(canon, "sha").select("doc_id", "canonical_id", "group_size")
 
 
+def word_array(text_col):
+    """lowercased alnum token array — the one tokenizer every shingle
+    consumer (Jaccard, MinHash, decontam, repetition stats) shares."""
+    return F.filter(F.split(F.lower(text_col), r"[^a-z0-9]+"), lambda t: t != F.lit(""))
+
+
+def shingle_array(arr, n: int):
+    """word n-gram array over a token array (NOT deduplicated — callers
+    that need set semantics apply array_distinct)."""
+    cnt = F.size(arr) - (n - 1)
+    # guard: sequence(1, 0) is DESCENDING in Spark, so docs shorter than n
+    # tokens must short-circuit to an empty shingle set
+    return F.when(
+        cnt > 0,
+        F.transform(
+            F.sequence(F.lit(1), cnt), lambda i: F.concat_ws(" ", F.slice(arr, i, n))
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def token_shingles(
     df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """(id, text) → (doc_id, shingle) distinct word n-grams. Narrow
     (generate inside the scan stage), dedup deferred to the consumer's
     aggregation."""
-    arr = F.filter(F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"), lambda t: t != F.lit(""))
-    cnt = F.size(arr) - (n - 1)
-    # guard: sequence(1, 0) is DESCENDING in Spark, so docs shorter than n
-    # tokens must short-circuit to an empty shingle set
-    sh = F.when(
-        cnt > 0,
-        F.transform(
-            F.sequence(F.lit(1), cnt), lambda i: F.concat_ws(" ", F.slice(arr, i, n))
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    sh = shingle_array(word_array(F.col(text_col)), n)
     return df.select(
         F.col(id_col).alias("doc_id"), F.explode(F.array_distinct(sh)).alias("shingle")
     )

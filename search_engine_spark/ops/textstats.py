@@ -192,12 +192,10 @@ def repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     the postings build, skew-bounded by the per-doc gram keys. A final
     left join from the corpus ids covers empty docs with zeros (same
     edge-case contract as doc_stats)."""
+    from .dedup import shingle_array
+
     arr = _tok_arr(F.col(text_col))
-    big_cnt = F.size(arr) - 1
-    bigrams = F.when(
-        big_cnt > 0,
-        F.transform(F.sequence(F.lit(1), big_cnt), lambda i: F.concat_ws(" ", F.slice(arr, i, 2))),
-    ).otherwise(F.array().cast("array<string>"))
+    bigrams = shingle_array(arr, 2)
     grams = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(

@@ -656,3 +656,14 @@ def test_repetition_stats_edges(spark):
     assert got[3]["n_toks"] == 0 and got[3]["top_tok_frac"] == 0.0 and got[3]["top_bigram_frac"] == 0.0
     # 'x y' appears 3 of 5 bigrams
     assert got[4]["top_bigram_frac"] == 0.6
+
+
+def test_pack_sequences_negative_ids_bucket_nonnegative(spark):
+    """xxhash64 doc_ids are negative ~half the time: buckets must stay
+    in [0, n_buckets) (pmod semantics — the oracle SQL mirrors this with
+    a double-mod)."""
+    from search_engine_spark.ops.packing import pack_sequences
+
+    df = spark.createDataFrame([(-5, "a b"), (-64, "c d e"), (7, "f")], "doc_id long, text string")
+    got = {r["doc_id"]: r["bucket"] for r in pack_sequences(df, budget=4, n_buckets=8).collect()}
+    assert got == {-5: 3, -64: 0, 7: 7}

@@ -11,25 +11,33 @@ import json
 import sys
 
 
-def _open_eventlog(path: str):
-    """Accept a plain JSONL file, a Spark 'eventlog_v2_*' rolling dir, or
-    a .zstd-compressed event file (Spark compresses when
-    spark.eventLog.compress or rolling logs are on)."""
+def _iter_eventlog_lines(path: str):
+    """Yield event-log JSON lines from a plain JSONL file, a
+    .zstd-compressed event file, or a Spark 'eventlog_v2_*' rolling dir
+    (ALL events_* parts, in roll order — the app-end event lives in the
+    last part)."""
     import glob
+    import io
     import os
+    import subprocess
 
     if os.path.isdir(path):
-        cands = sorted(glob.glob(os.path.join(path, "events_*"))) or sorted(
-            glob.glob(os.path.join(path, "*"))
+        parts = sorted(
+            glob.glob(os.path.join(path, "events_*")),
+            key=lambda p: int(os.path.basename(p).split("_")[1]),
         )
-        path = cands[0]
-    if path.endswith(".zstd"):
-        import io
-        import subprocess
-
-        out = subprocess.run(["zstd", "-d", "-q", "-c", path], capture_output=True, check=True)
-        return io.StringIO(out.stdout.decode("utf-8"))
-    return open(path)
+        if not parts:
+            raise SystemExit(f"no events_* files in {path}")
+    else:
+        parts = [path]
+    for part in parts:
+        if part.endswith(".zstd"):
+            out = subprocess.run(["zstd", "-d", "-q", "-c", part], capture_output=True, check=True)
+            f = io.StringIO(out.stdout.decode("utf-8"))
+        else:
+            f = open(part)
+        with f:
+            yield from f
 
 
 def main() -> None:
@@ -37,48 +45,47 @@ def main() -> None:
     top_n = int(sys.argv[2]) if len(sys.argv) > 2 else 25
     stages: dict[tuple[int, int], dict] = {}
     app_start = app_end = None
-    with _open_eventlog(path) as f:
-        for line in f:
-            try:
-                e = json.loads(line)
-            except json.JSONDecodeError:
-                continue
-            ev = e.get("Event")
-            if ev == "SparkListenerApplicationStart":
-                app_start = e.get("Timestamp")
-            elif ev == "SparkListenerApplicationEnd":
-                app_end = e.get("Timestamp")
-            elif ev == "SparkListenerStageCompleted":
-                si = e["Stage Info"]
-                key = (si["Stage ID"], si["Stage Attempt ID"])
-                st = stages.setdefault(key, {"task_ms": 0, "n_tasks": 0, "max_task": 0,
-                                             "shuffle_read": 0, "shuffle_write": 0,
-                                             "input": 0, "output": 0, "gc_ms": 0,
-                                             "ser_ms": 0, "py_ms": 0})
-                st["name"] = si["Stage Name"].split("\n")[0][:70]
-                st["wall_ms"] = (si.get("Completion Time", 0) or 0) - (si.get("Submission Time", 0) or 0)
-                st["submit"] = si.get("Submission Time")
-                st["complete"] = si.get("Completion Time")
-            elif ev == "SparkListenerTaskEnd":
-                key = (e["Stage ID"], e["Stage Attempt ID"])
-                st = stages.setdefault(key, {"task_ms": 0, "n_tasks": 0, "max_task": 0,
-                                             "shuffle_read": 0, "shuffle_write": 0,
-                                             "input": 0, "output": 0, "gc_ms": 0,
-                                             "ser_ms": 0, "py_ms": 0})
-                ti = e.get("Task Info", {})
-                dur = (ti.get("Finish Time", 0) or 0) - (ti.get("Launch Time", 0) or 0)
-                st["task_ms"] += dur
-                st["n_tasks"] += 1
-                st["max_task"] = max(st["max_task"], dur)
-                tm = e.get("Task Metrics") or {}
-                st["gc_ms"] += tm.get("JVM GC Time", 0)
-                st["ser_ms"] += tm.get("Result Serialization Time", 0)
-                sr = tm.get("Shuffle Read Metrics") or {}
-                st["shuffle_read"] += sr.get("Local Bytes Read", 0) + sr.get("Remote Bytes Read", 0)
-                sw = tm.get("Shuffle Write Metrics") or {}
-                st["shuffle_write"] += sw.get("Shuffle Bytes Written", 0)
-                st["input"] += (tm.get("Input Metrics") or {}).get("Bytes Read", 0)
-                st["output"] += (tm.get("Output Metrics") or {}).get("Bytes Written", 0)
+    for line in _iter_eventlog_lines(path):
+        try:
+            e = json.loads(line)
+        except json.JSONDecodeError:
+            continue
+        ev = e.get("Event")
+        if ev == "SparkListenerApplicationStart":
+            app_start = e.get("Timestamp")
+        elif ev == "SparkListenerApplicationEnd":
+            app_end = e.get("Timestamp")
+        elif ev == "SparkListenerStageCompleted":
+            si = e["Stage Info"]
+            key = (si["Stage ID"], si["Stage Attempt ID"])
+            st = stages.setdefault(key, {"task_ms": 0, "n_tasks": 0, "max_task": 0,
+                                         "shuffle_read": 0, "shuffle_write": 0,
+                                         "input": 0, "output": 0, "gc_ms": 0,
+                                         "ser_ms": 0, "py_ms": 0})
+            st["name"] = si["Stage Name"].split("\n")[0][:70]
+            st["wall_ms"] = (si.get("Completion Time", 0) or 0) - (si.get("Submission Time", 0) or 0)
+            st["submit"] = si.get("Submission Time")
+            st["complete"] = si.get("Completion Time")
+        elif ev == "SparkListenerTaskEnd":
+            key = (e["Stage ID"], e["Stage Attempt ID"])
+            st = stages.setdefault(key, {"task_ms": 0, "n_tasks": 0, "max_task": 0,
+                                         "shuffle_read": 0, "shuffle_write": 0,
+                                         "input": 0, "output": 0, "gc_ms": 0,
+                                         "ser_ms": 0, "py_ms": 0})
+            ti = e.get("Task Info", {})
+            dur = (ti.get("Finish Time", 0) or 0) - (ti.get("Launch Time", 0) or 0)
+            st["task_ms"] += dur
+            st["n_tasks"] += 1
+            st["max_task"] = max(st["max_task"], dur)
+            tm = e.get("Task Metrics") or {}
+            st["gc_ms"] += tm.get("JVM GC Time", 0)
+            st["ser_ms"] += tm.get("Result Serialization Time", 0)
+            sr = tm.get("Shuffle Read Metrics") or {}
+            st["shuffle_read"] += sr.get("Local Bytes Read", 0) + sr.get("Remote Bytes Read", 0)
+            sw = tm.get("Shuffle Write Metrics") or {}
+            st["shuffle_write"] += sw.get("Shuffle Bytes Written", 0)
+            st["input"] += (tm.get("Input Metrics") or {}).get("Bytes Read", 0)
+            st["output"] += (tm.get("Output Metrics") or {}).get("Bytes Written", 0)
 
     total_wall = (app_end - app_start) / 1000 if app_start and app_end else None
     rows = sorted(stages.items(), key=lambda kv: -kv[1].get("wall_ms", 0))[:top_n]
