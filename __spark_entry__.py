@@ -548,6 +548,17 @@ def q_stratified_sample(spark, sf_dir):
     ).select("doc_id", "lang")
 
 
+def q_neardup_dedup(spark, sf_dir):
+    # end-to-end near-dup removal: Jaccard pairs → connected-component
+    # clusters → anti-join; survivors = untouched docs + one canonical
+    # per cluster (ops/dedup.py:remove_near_dups)
+    from search_engine_spark.ops.dedup import jaccard_dup_pairs, remove_near_dups
+
+    dd = _docs_with_dups(spark, sf_dir)
+    pairs = jaccard_dup_pairs(dd, n=3, threshold=0.5)
+    return remove_near_dups(dd, pairs).select("doc_id")
+
+
 def q_decontaminate(spark, sf_dir):
     # benchmark-overlap decontamination: the 5 lowest-id docs stand in
     # for a held-out eval set; corpus docs sharing any 3-token shingle
@@ -890,6 +901,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "stratified_sample": q_stratified_sample,
         "curation_pipeline": q_curation_pipeline,
+        "neardup_dedup": q_neardup_dedup,
         "decontaminate": q_decontaminate,
         "pack_sequences": q_pack_sequences,
         "lang_id": q_lang_id,
@@ -1031,6 +1043,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, cluster_id, cluster_size,
                    doc_id = cluster_id AS is_canonical
             FROM comp JOIN sizes USING (cluster_id)
+        """,
+        "neardup_dedup": f"""
+            WITH RECURSIVE {_DUPS_CTE},
+            {_JACCARD_CTES},
+            pairs AS (SELECT id_a, id_b
+                      FROM inter
+                      JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+                      WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.5),
+            edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+                      UNION SELECT id_b, id_a FROM pairs),
+            walk(u, c) AS (
+              SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+              UNION
+              SELECT e.u, w.c FROM edges e JOIN walk w ON w.u = e.v
+            ),
+            comp AS (SELECT u AS doc_id, MIN(c) AS cluster_id FROM walk GROUP BY u),
+            dropped AS (SELECT doc_id FROM comp WHERE doc_id <> cluster_id)
+            SELECT dd.doc_id FROM dd
+            WHERE dd.doc_id NOT IN (SELECT doc_id FROM dropped)
         """,
         "embedding_dups": """
             SELECT id_a, id_b, cosine FROM (

@@ -460,3 +460,24 @@ def dup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b") -> Da
             (F.col("u") == F.col("cluster_id")).alias("is_canonical"),
         )
     )
+
+
+def remove_near_dups(
+    df: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Near-dup REMOVAL: keep every doc that is either outside the dup
+    graph or the canonical (min-id) member of its cluster. Completes the
+    dedup story end-to-end: pairs (any family above) → clusters
+    (:func:`dup_clusters`) → surviving corpus rows.
+
+    Scale shape: the non-canonical id set is the only extra state —
+    |clusters| − |components| rows, vastly smaller than the corpus — and
+    it left-anti joins against the corpus on doc_id. With pairs from the
+    LSH families the whole path never materializes anything
+    corpus-sized beyond the input scan."""
+    drop = (
+        dup_clusters(pairs, id_a="id_a", id_b="id_b")
+        .where(~F.col("is_canonical"))
+        .select(F.col("doc_id").alias(id_col))
+    )
+    return df.join(drop, id_col, "left_anti")
