@@ -76,3 +76,43 @@ def curate(
         salt=salt,
         default_fraction=default_fraction,
     )
+
+
+# PII patterns (StarCoder/BigCode-style redaction for code corpora:
+# https://arxiv.org/abs/2305.06161 §3 redacts emails, IPs and secret
+# keys before training). Deliberately dialect-neutral regexes — no
+# lookarounds, no \p classes — so the exact same pattern runs on Spark
+# (Java regex) and any RE2 engine (DuckDB oracle) with identical
+# matches. Counts are measured on the ORIGINAL text per category
+# (redaction order can otherwise eat a later category's match, e.g. an
+# email whose host part looks like an IPv4).
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b(\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("key", r"\bAKIA[0-9A-Z]{16}\b", "<KEY>"),
+)
+
+
+def redact_pii(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, text) → (doc_id, n_email, n_ip, n_key, text_redacted).
+
+    Row-local and shuffle-free: one narrow projection, all regex work
+    JVM-side inside whole-stage codegen (zero Python). At 100 TB this
+    pipelines with the scan — redaction adds no stage boundary, so it
+    composes with curate()/annotate() at zero extra passes. Replacement
+    is sequential in PII_PATTERNS order; counts are per-category over
+    the pre-redaction text (see PII_PATTERNS note). The reference has
+    no PII pass (its corpus is crawled public web pages); this is the
+    training-data-pipeline op the builder brief mandates for a code
+    corpus (emails in committer headers, hardcoded IPs/keys in config).
+    """
+    counts = [
+        F.regexp_count(F.col(text_col), F.lit(pat)).cast("bigint").alias(f"n_{name}")
+        for name, pat, _ in PII_PATTERNS
+    ]
+    red = F.col(text_col)
+    for _, pat, repl in PII_PATTERNS:
+        red = F.regexp_replace(red, pat, repl)
+    return df.select(
+        F.col(id_col).alias("doc_id"), *counts, red.alias("text_redacted")
+    )

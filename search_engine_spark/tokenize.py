@@ -157,3 +157,95 @@ def tokenize_with_stems(corpus: DataFrame, content_col: str = "content", id_col:
         .select("doc_id", F.col("stem").alias("term"), "pos")
     )
     return tokens.unionByName(stemmed)
+
+
+# --- Code-identifier subtoken channel -------------------------------------
+#
+# The reference tokenizer lowercases BEFORE splitting
+# (Indexer.java:129-169), so `parseUrl` indexes only as `parseurl` and a
+# query for `parse url` misses it — acceptable for web pages, a real gap
+# for a source-code corpus where compound identifiers are the norm. Code
+# search engines (GitHub code search, Zoekt, Sourcegraph) therefore index
+# identifier SUBTOKENS: camelCase/PascalCase/ACRONYMCase parts emitted
+# alongside the whole identifier. snake_case and dotted.paths are already
+# split by the base tokenizer (``_``/``.`` are non-alphanumeric).
+
+CASED_SPLIT_RE = r"[^a-zA-Z0-9]+"
+# Two boundary rules, applied in this order (both global):
+#   1. acronym→word:  ([A-Z])([A-Z][a-z])   HTTPResponse → HTTP Response
+#   2. lower→upper:   ([a-z0-9])([A-Z])     parseUrl     → parse Url
+# Digit runs are NOT split (`v2` stays `v2`): splitting them floods the
+# index with bare single digits for near-zero retrieval value.
+_CAMEL_RULES = ((r"([A-Z])([A-Z][a-z])", r"$1 $2"), (r"([a-z0-9])([A-Z])", r"$1 $2"))
+
+
+def _cased_token_array(content_col):
+    """Case-PRESERVING token array under the base tokenizer's exact
+    survival predicate (empty / length / skip-word, all evaluated on the
+    lowercased form). ASCII lowercasing changes neither alphanumeric-ness
+    nor length, so this array is positionally identical to
+    _token_array(content_col) element for element — subtoken rows can
+    copy base-channel positions the way stem rows do."""
+    norm = F.substring(content_col, 1, C.MAX_PAGE_LEN)
+    toks = F.split(norm, CASED_SPLIT_RE)
+    skips = F.array(*[F.lit(w) for w in sorted(C.SKIP_WORDS)])
+    return F.filter(
+        toks,
+        lambda t: (t != F.lit(""))
+        & (F.length(t) <= C.MAX_WORD_LEN)
+        & ~F.array_contains(skips, F.lower(t)),
+    )
+
+
+def _camel_parts(tok_col):
+    """Distinct lowercased camel-boundary parts of one cased token."""
+    parted = tok_col
+    for pat, repl in _CAMEL_RULES:
+        parted = F.regexp_replace(parted, pat, repl)
+    return F.array_distinct(F.split(F.lower(parted), " "))
+
+
+def tokenize_subtokens(
+    corpus: DataFrame, content_col: str = "content", id_col: str = "doc_id"
+) -> DataFrame:
+    """corpus → (doc_id, term, pos, is_sub): the base token stream
+    (is_sub=0, identical rows to tokenize()) plus, for each token whose
+    camel split yields parts different from the whole, one row per
+    distinct part AT THE PARENT'S POSITION (is_sub=1). Copying the
+    position keeps phrase/adjacency semantics intact on the base channel
+    while making `parse url` a position-adjacent phrase hit on
+    `parseUrl`'s parts. Parts pass the same skip-word/length filters as
+    base tokens.
+
+    Plan shape: still narrow — scan → project → two generates (posexplode
+    then explode), no shuffle, all codegen'd; the subtoken channel adds
+    zero exchanges to the index build. Aggregating to postings later
+    costs the same single partial-agg shuffle as the base channel.
+    """
+    toks = _cased_token_array(F.col(content_col))
+    exploded = corpus.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(toks).alias("pos0", "tok")
+    )
+    base = exploded.select(
+        "doc_id",
+        F.lower("tok").alias("term"),
+        (F.col("pos0") + 1).cast("int").alias("pos"),
+        F.lit(0).cast("int").alias("is_sub"),
+    )
+    skips = F.array(*[F.lit(w) for w in sorted(C.SKIP_WORDS)])
+    subs = (
+        exploded.select(
+            "doc_id",
+            (F.col("pos0") + 1).cast("int").alias("pos"),
+            F.lower("tok").alias("parent"),
+            F.explode(_camel_parts(F.col("tok"))).alias("term"),
+        )
+        .where(
+            (F.col("term") != F.col("parent"))
+            & (F.col("term") != "")
+            & (F.length("term") <= C.MAX_WORD_LEN)
+            & ~F.array_contains(skips, F.col("term"))
+        )
+        .select("doc_id", "term", "pos", F.lit(1).cast("int").alias("is_sub"))
+    )
+    return base.unionByName(subs)

@@ -119,3 +119,53 @@ def test_stem_udf_stays_on_distinct_vocab(spark, corpus):
     # and the stems are real: a known stemming pair survives the filter
     rows = {r["term"]: r["stem"] for r in vocab.collect()}
     assert all(porter_stem(t) == s for t, s in rows.items())
+
+
+# --- code-identifier subtoken channel (tokenize.tokenize_subtokens) ---
+
+def subtoken_rows(spark, content: str):
+    from search_engine_spark.tokenize import tokenize_subtokens
+
+    df = spark.createDataFrame([(1, content)], "doc_id long, content string")
+    return sorted(
+        (r["term"], r["pos"], r["is_sub"])
+        for r in tokenize_subtokens(df).collect()
+    )
+
+
+def test_subtokens_camel_pascal_acronym(spark):
+    rows = subtoken_rows(spark, "parseUrlFast HTTPResponse getValue3")
+    # base channel identical to tokenize(): lowercased whole identifiers
+    assert ("parseurlfast", 1, 0) in rows
+    assert ("httpresponse", 2, 0) in rows
+    assert ("getvalue3", 3, 0) in rows
+    # camel parts at the PARENT's position
+    assert {("parse", 1, 1), ("url", 1, 1), ("fast", 1, 1)} <= set(rows)
+    assert ("response", 2, 1) in rows  # acronym boundary HTTP|Response
+    assert {("get", 3, 1), ("value3", 3, 1)} <= set(rows)  # digits ride the part
+    # skip-word parts are dropped: 'http' from HTTPResponse is in SKIP_WORDS
+    assert ("http", 2, 1) not in rows
+
+
+def test_subtokens_base_channel_matches_tokenize(spark):
+    from search_engine_spark.tokenize import tokenize_subtokens
+
+    content = "Visit www getHTTPResponse my_snake_var 10 OK " + "y" * 21
+    df = spark.createDataFrame([(1, content)], "doc_id long, content string")
+    base = sorted(
+        (r["term"], r["pos"])
+        for r in tokenize_subtokens(df).where("is_sub = 0").collect()
+    )
+    assert base == sorted(spark_tokens(spark, content))
+
+
+def test_subtokens_no_dup_parts_single_token(spark):
+    # parseParse -> parts [parse] once (array_distinct), parent differs
+    rows = subtoken_rows(spark, "parseParse")
+    assert rows == [("parse", 1, 1), ("parseparse", 1, 0)]
+
+
+def test_subtokens_plain_words_add_no_rows(spark):
+    # all-lowercase text has no camel boundaries: subtoken channel empty
+    rows = subtoken_rows(spark, "plain lower words only")
+    assert all(is_sub == 0 for _, _, is_sub in rows)
