@@ -920,6 +920,49 @@ _IDENT_SUFFIX_SQL = (
     "' HTTPResponse parseUrlFast my_snake_var SimHash2'"
 )
 
+# Shared DuckDB CTE chain for the subtoken channel (single definition,
+# used by both subtoken_postings and phrase_subtoken): cased tokenize
+# under the base survival predicate, then camel-split parts at the
+# parent's position — mirrors tokenize.tokenize_subtokens exactly.
+_SUBTOK_CTES = """
+    idents AS (SELECT doc_id, {ident} AS text FROM documents),
+    ctoks AS (
+      SELECT doc_id, unnest(arr) AS tok, generate_subscripts(arr, 1) AS pos
+      FROM (SELECT doc_id,
+                   list_filter(regexp_split_to_array(substr(text, 1, {maxlen}),
+                                                     '[^a-zA-Z0-9]+'),
+                               x -> x <> '' AND length(x) <= {maxword}
+                                    AND NOT list_contains([{skips}], lower(x))) AS arr
+            FROM idents)
+    ),
+    base AS (SELECT doc_id, lower(tok) AS term, pos::INT AS pos, 0::INT AS is_sub FROM ctoks),
+    parted AS (
+      SELECT doc_id, pos::INT AS pos, lower(tok) AS parent,
+             unnest(list_distinct(string_split(lower(
+               regexp_replace(regexp_replace(tok,
+                 '([A-Z])([A-Z][a-z])', '\\1 \\2', 'g'),
+                 '([a-z0-9])([A-Z])', '\\1 \\2', 'g')), ' '))) AS term
+      FROM ctoks
+    ),
+    subs AS (
+      SELECT doc_id, term, pos, 1::INT AS is_sub FROM parted
+      WHERE term <> parent AND term <> '' AND length(term) <= {maxword}
+            AND NOT list_contains([{skips}], term)
+    ),
+    subtok AS (
+      SELECT doc_id, term, pos, is_sub FROM base
+      UNION ALL
+      SELECT doc_id, term, pos, is_sub FROM subs
+    )
+"""
+
+_SUBTOK_CTES_FILLED = _SUBTOK_CTES.format(
+    ident=_IDENT_SUFFIX_SQL,
+    maxlen=C.MAX_PAGE_LEN,
+    maxword=C.MAX_WORD_LEN,
+    skips=_SKIPS_SQL,
+)
+
 
 def _docs_with_idents(spark, sf_dir):
     d = _read(spark, sf_dir, "documents").select("doc_id", "text")
@@ -941,6 +984,34 @@ def q_subtoken_postings(spark, sf_dir):
     from search_engine_spark.tokenize import tokenize_subtokens
 
     return tokenize_subtokens(_docs_with_idents(spark, sf_dir), content_col="text")
+
+
+def q_phrase_subtoken(spark, sf_dir):
+    # code-search phrase semantics over the subtoken channel: `parse url`
+    # matches either adjacent standalone words (p2 = p1 + 1, the classic
+    # positional phrase of q_phrase_match) OR parts of ONE compound
+    # identifier — subtoken rows inherit the parent's position, so
+    # `parseUrlFast` puts `parse` and `url` at the SAME pos (p2 = p1).
+    # One narrow scan, two filters, one co-partitioned self-join on
+    # doc_id — same plan family as phrase_match, no new shuffle shape.
+    from search_engine_spark.tokenize import tokenize_subtokens
+
+    toks = tokenize_subtokens(_docs_with_idents(spark, sf_dir), content_col="text")
+    a = toks.where(F.col("term") == "parse").select(
+        "doc_id", F.col("pos").alias("p1"), F.col("is_sub").alias("s1")
+    )
+    b = toks.where(F.col("term") == "url").select(
+        "doc_id", F.col("pos").alias("p2"), F.col("is_sub").alias("s2")
+    )
+    hit = (F.col("p2") == F.col("p1") + 1) | (
+        (F.col("p2") == F.col("p1")) & (F.col("s1") == 1) & (F.col("s2") == 1)
+    )
+    return (
+        a.join(b, "doc_id")
+        .where(hit)
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_occurrences"), F.min("p1").alias("first_pos"))
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -978,6 +1049,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "redact_pii": q_redact_pii,
         "subtoken_postings": q_subtoken_postings,
+        "phrase_subtoken": q_phrase_subtoken,
         "lang_id": q_lang_id,
         "quality": q_quality,
         "repetition_stats": q_repetition_stats,
@@ -1247,33 +1319,19 @@ def oracle_sql() -> dict[str, str]:
             FROM pii
         """,
         "subtoken_postings": f"""
-            WITH idents AS (SELECT doc_id, {_IDENT_SUFFIX_SQL} AS text FROM documents),
-            ctoks AS (
-              SELECT doc_id, unnest(arr) AS tok, generate_subscripts(arr, 1) AS pos
-              FROM (SELECT doc_id,
-                           list_filter(regexp_split_to_array(substr(text, 1, {C.MAX_PAGE_LEN}),
-                                                             '[^a-zA-Z0-9]+'),
-                                       x -> x <> '' AND length(x) <= {C.MAX_WORD_LEN}
-                                            AND NOT list_contains([{_SKIPS_SQL}], lower(x))) AS arr
-                    FROM idents)
-            ),
-            base AS (SELECT doc_id, lower(tok) AS term, pos::INT AS pos, 0::INT AS is_sub FROM ctoks),
-            parted AS (
-              SELECT doc_id, pos::INT AS pos, lower(tok) AS parent,
-                     unnest(list_distinct(string_split(lower(
-                       regexp_replace(regexp_replace(tok,
-                         '([A-Z])([A-Z][a-z])', '\\1 \\2', 'g'),
-                         '([a-z0-9])([A-Z])', '\\1 \\2', 'g')), ' '))) AS term
-              FROM ctoks
-            ),
-            subs AS (
-              SELECT doc_id, term, pos, 1::INT AS is_sub FROM parted
-              WHERE term <> parent AND term <> '' AND length(term) <= {C.MAX_WORD_LEN}
-                    AND NOT list_contains([{_SKIPS_SQL}], term)
-            )
-            SELECT doc_id, term, pos, is_sub FROM base
-            UNION ALL
-            SELECT doc_id, term, pos, is_sub FROM subs
+            WITH {_SUBTOK_CTES_FILLED}
+            SELECT doc_id, term, pos, is_sub FROM subtok
+        """,
+        "phrase_subtoken": f"""
+            WITH {_SUBTOK_CTES_FILLED}
+            SELECT a.doc_id,
+                   count(*)::BIGINT AS n_occurrences,
+                   min(a.pos)::INT AS first_pos
+            FROM (SELECT doc_id, pos, is_sub FROM subtok WHERE term = 'parse') a
+            JOIN (SELECT doc_id, pos, is_sub FROM subtok WHERE term = 'url') b
+              ON a.doc_id = b.doc_id
+             AND (b.pos = a.pos + 1 OR (b.pos = a.pos AND a.is_sub = 1 AND b.is_sub = 1))
+            GROUP BY a.doc_id
         """,
         "lang_id": _LANG_ID_SQL,
         "quality": _QUALITY_SQL,

@@ -169,3 +169,39 @@ def test_subtokens_plain_words_add_no_rows(spark):
     # all-lowercase text has no camel boundaries: subtoken channel empty
     rows = subtoken_rows(spark, "plain lower words only")
     assert all(is_sub == 0 for _, _, is_sub in rows)
+
+
+def test_phrase_over_subtokens_dual_semantics(spark):
+    # `parse url` must hit BOTH the adjacent standalone words (doc 1,
+    # p2 = p1 + 1 on the base channel) and the compound identifier
+    # (doc 2, co-positional subtokens of parseUrlFast) — and must NOT
+    # hit `url parse` reversed (doc 3) or parts of two DIFFERENT
+    # identifiers (doc 4: parseFoo barUrl are at adjacent positions, a
+    # legitimate adjacency hit for loose code search — pin it as a hit).
+    from search_engine_spark.tokenize import tokenize_subtokens
+
+    df = spark.createDataFrame(
+        [
+            (1, "please parse url now"),
+            (2, "call parseUrlFast here"),
+            (3, "the url parse order"),
+            (4, "mix parseFoo barUrl end"),
+        ],
+        "doc_id long, content string",
+    )
+    toks = tokenize_subtokens(df)
+    from pyspark.sql import functions as F
+
+    a = toks.where(F.col("term") == "parse").select(
+        "doc_id", F.col("pos").alias("p1"), F.col("is_sub").alias("s1")
+    )
+    b = toks.where(F.col("term") == "url").select(
+        "doc_id", F.col("pos").alias("p2"), F.col("is_sub").alias("s2")
+    )
+    hit = (F.col("p2") == F.col("p1") + 1) | (
+        (F.col("p2") == F.col("p1")) & (F.col("s1") == 1) & (F.col("s2") == 1)
+    )
+    docs = sorted(
+        r["doc_id"] for r in a.join(b, "doc_id").where(hit).select("doc_id").distinct().collect()
+    )
+    assert docs == [1, 2, 4]
