@@ -217,35 +217,37 @@ def tokenize_subtokens(
     `parseUrl`'s parts. Parts pass the same skip-word/length filters as
     base tokens.
 
-    Plan shape: still narrow — scan → project → two generates (posexplode
-    then explode), no shuffle, all codegen'd; the subtoken channel adds
-    zero exchanges to the index build. Aggregating to postings later
-    costs the same single partial-agg shuffle as the base channel.
+    Plan shape: ONE corpus scan (a base∪sub union of two branches would
+    read the parquet twice — 2× I/O at 100 TB), then two codegen'd
+    generates: posexplode over the cased token array, then one explode
+    over a combined array<struct<term,is_sub>> built row-locally (the
+    base term prepended to the surviving camel parts). No shuffle; the
+    subtoken channel adds zero exchanges to the index build. Aggregating
+    to postings later costs the same single partial-agg shuffle as the
+    base channel.
     """
     toks = _cased_token_array(F.col(content_col))
     exploded = corpus.select(
         F.col(id_col).alias("doc_id"), F.posexplode(toks).alias("pos0", "tok")
     )
-    base = exploded.select(
-        "doc_id",
-        F.lower("tok").alias("term"),
-        (F.col("pos0") + 1).cast("int").alias("pos"),
-        F.lit(0).cast("int").alias("is_sub"),
-    )
     skips = F.array(*[F.lit(w) for w in sorted(C.SKIP_WORDS)])
-    subs = (
-        exploded.select(
-            "doc_id",
-            (F.col("pos0") + 1).cast("int").alias("pos"),
-            F.lower("tok").alias("parent"),
-            F.explode(_camel_parts(F.col("tok"))).alias("term"),
-        )
-        .where(
-            (F.col("term") != F.col("parent"))
-            & (F.col("term") != "")
-            & (F.length("term") <= C.MAX_WORD_LEN)
-            & ~F.array_contains(skips, F.col("term"))
-        )
-        .select("doc_id", "term", "pos", F.lit(1).cast("int").alias("is_sub"))
+    parent = F.lower(F.col("tok"))
+    surviving_parts = F.filter(
+        _camel_parts(F.col("tok")),
+        lambda p: (p != parent)
+        & (p != F.lit(""))
+        & (F.length(p) <= C.MAX_WORD_LEN)
+        & ~F.array_contains(skips, p),
     )
-    return base.unionByName(subs)
+    channel = F.concat(
+        F.array(F.struct(parent.alias("term"), F.lit(0).cast("int").alias("is_sub"))),
+        F.transform(
+            surviving_parts,
+            lambda p: F.struct(p.alias("term"), F.lit(1).cast("int").alias("is_sub")),
+        ),
+    )
+    return exploded.select(
+        "doc_id",
+        (F.col("pos0") + 1).cast("int").alias("pos"),
+        F.explode(channel).alias("t"),
+    ).select("doc_id", F.col("t.term").alias("term"), "pos", F.col("t.is_sub").alias("is_sub"))

@@ -148,3 +148,25 @@ def test_corpus_generation_scales_partitions_with_cores(spark):
     assert big.rdd.getNumPartitions() >= min(3 * par, 250)
     tiny = generate_corpus(spark, 200)
     assert tiny.rdd.getNumPartitions() == 1
+
+
+def test_redact_pii_shuffle_free_jvm_side(docs):
+    """PII redaction must pipeline with the scan: no Exchange, no
+    Python — regexp_count/regexp_replace are codegen builtins."""
+    from search_engine_spark.ops.curation import redact_pii
+
+    plan = _plan(redact_pii(docs.select("doc_id", "text")))
+    assert "Exchange" not in plan, plan
+    assert "Python" not in plan, plan
+
+
+def test_subtoken_channel_single_scan_no_shuffle(docs):
+    """The subtoken channel must read the corpus ONCE (a union of two
+    branches would scan the parquet twice — 2x I/O at 100 TB) and stay
+    a narrow generate chain: no Exchange, no Python."""
+    from search_engine_spark.tokenize import tokenize_subtokens
+
+    plan = _plan(tokenize_subtokens(docs.select("doc_id", "text"), content_col="text"))
+    assert plan.count("FileScan") == 1, plan
+    assert "Exchange" not in plan, plan
+    assert "Python" not in plan, plan
