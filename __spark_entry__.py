@@ -504,6 +504,16 @@ def q_embedding_dups_lsh(spark, sf_dir):
     return embedding_dup_pairs_lsh(_read(spark, sf_dir, "embeddings"), threshold=0.3)
 
 
+def q_semdedup(spark, sf_dir):
+    # SemDeDup (arXiv:2303.09540): k-means cells → within-cell cosine
+    # pairs → CC → min-id survivor per component. The quantizer needs a
+    # matmul, so no SQL oracle; recall + survivor identities gated in
+    # tests/test_ops.py::test_semdedup_recall_and_survivors
+    from search_engine_spark.ops.dedup import semdedup
+
+    return semdedup(_read(spark, sf_dir, "embeddings"), threshold=0.3).select("vec_id")
+
+
 def _query_vecs(emb):
     return (
         emb.orderBy("vec_id")
@@ -1045,6 +1055,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "curation_pipeline": q_curation_pipeline,
         "neardup_dedup": q_neardup_dedup,
+        "semdedup": q_semdedup,
         "decontaminate": q_decontaminate,
         "pack_sequences": q_pack_sequences,
         "redact_pii": q_redact_pii,

@@ -481,3 +481,74 @@ def remove_near_dups(
         .select(F.col("doc_id").alias(id_col))
     )
     return df.join(drop, id_col, "left_anti")
+
+
+def semdedup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    n_clusters: int = 16,
+    centroids=None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup candidate pairs (Abbas et al. 2023, arXiv:2303.09540):
+    a spherical-k-means coarse quantizer partitions the embedding space;
+    cosine pairs are computed only WITHIN each cell. The third dedup
+    scale path next to SRP-LSH bucketing and the exact all-pairs
+    baseline — the one that matches how production pipelines (LAION,
+    SemDeDup itself) actually run, because the cluster assignment is
+    computed once at ingest and reused by ANN search (ivf_cosine_topk
+    shares the same quantizer).
+
+    Scale shape: assignment is a narrow Arrow matmul (no shuffle); the
+    within-cell self-join shuffles on the cell id and is bounded at
+    (n/k)² rows per cell — at 100 TB you grow k with n (the paper uses
+    k ≈ 10⁴–10⁵) so cells stay ~constant-sized, and AQE skew-join splits
+    any hot cell. Misses only cross-cell pairs, the same recall trade
+    the paper makes; exact-duplicate vectors always share a cell
+    (identical input ⇒ identical argmax), so exact-dup recall is 1.
+    Output: (id_a, id_b, cosine) with id_a < id_b, cosine rounded 6dp.
+    """
+    from .similarity import _assign_udf, kmeans_centroids
+
+    if centroids is None:
+        centroids = kmeans_centroids(
+            emb, n_clusters=n_clusters, id_col=id_col, vec_col=vec_col
+        )
+    v = emb.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("vec")
+    ).withColumn("cell", _assign_udf(centroids)(F.col("vec")))
+    a, b = v.alias("a"), v.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.vec"), F.col("b.vec"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x))  # noqa: E731
+    return (
+        a.join(b, (F.col("a.cell") == F.col("b.cell")) & (F.col("a.vid") < F.col("b.vid")))
+        .select(
+            F.col("a.vid").alias("id_a"),
+            F.col("b.vid").alias("id_b"),
+            F.round(dot / (norm(F.col("a.vec")) * norm(F.col("b.vec"))), 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+
+
+def semdedup(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    n_clusters: int = 16,
+    centroids=None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """End-to-end SemDeDup: within-cell pairs (:func:`semdedup_pairs`)
+    → connected components (:func:`dup_clusters`) → surviving embedding
+    rows (min-id representative kept per component, matching every other
+    removal path in this module). Returns the input rows that survive."""
+    pairs = semdedup_pairs(
+        emb, threshold, n_clusters, centroids, id_col=id_col, vec_col=vec_col
+    )
+    return remove_near_dups(emb, pairs, id_col=id_col)

@@ -667,3 +667,56 @@ def test_pack_sequences_negative_ids_bucket_nonnegative(spark):
     df = spark.createDataFrame([(-5, "a b"), (-64, "c d e"), (7, "f")], "doc_id long, text string")
     got = {r["doc_id"]: r["bucket"] for r in pack_sequences(df, budget=4, n_buckets=8).collect()}
     assert got == {-5: 3, -64: 0, 7: 7}
+
+
+def test_semdedup_recall_and_survivors(emb):
+    """SemDeDup (cluster-then-dedup) vs the exact all-pairs path on the
+    planted-dup fixture: exact duplicates (identical vectors) must ALWAYS
+    be caught (same argmax cell by construction), near-dup recall >= 0.9,
+    pairs are a no-false-positive subset of the exact path, and the
+    survivor frame is exactly input minus non-canonical members."""
+    from search_engine_spark.ops.dedup import (
+        dup_clusters,
+        semdedup,
+        semdedup_pairs,
+    )
+
+    spark = emb.sparkSession
+    rows = emb.select("vec_id", "embedding").collect()
+    rng = np.random.default_rng(7)
+    near, exact_copies = [], []
+    for r in rows:
+        v = np.asarray(r["embedding"], dtype=np.float64)
+        noisy = v + rng.normal(0, 0.02 * np.linalg.norm(v) / np.sqrt(v.size), v.size)
+        near.append((r["vec_id"] + 100_000, [float(x) for x in noisy]))
+        exact_copies.append((r["vec_id"] + 200_000, [float(x) for x in v]))
+    both = emb.select("vec_id", "embedding").union(
+        spark.createDataFrame(near + exact_copies, "vec_id long, embedding array<double>")
+    ).cache()
+
+    exact_pairs = {
+        (r["id_a"], r["id_b"]) for r in embedding_dup_pairs(both, threshold=0.95).collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in semdedup_pairs(both, threshold=0.95, n_clusters=8).collect()
+    }
+    assert got <= exact_pairs  # within-cell rescoring is exact
+    recall = len(got & exact_pairs) / len(exact_pairs)
+    assert recall >= 0.9, f"semdedup recall {recall:.2f} over {len(exact_pairs)} pairs"
+    # identical vectors are never missed: every +200k copy is in some pair
+    copy_ids = {vid for vid, _ in exact_copies}
+    paired = {i for p in got for i in p}
+    assert copy_ids <= paired
+
+    survivors = semdedup(both, threshold=0.95, n_clusters=8)
+    drop = (
+        dup_clusters(
+            semdedup_pairs(both, threshold=0.95, n_clusters=8), "id_a", "id_b"
+        )
+        .where("not is_canonical")
+        .count()
+    )
+    assert survivors.count() == both.count() - drop
+    # canonical = min id, so no +200k exact copy ever survives
+    assert survivors.where(F.col("vec_id").isin(list(copy_ids))).count() == 0
