@@ -431,6 +431,21 @@ def q_union_distinct(spark, sf_dir):
     return o.union(c).distinct()
 
 
+def q_except_distinct(spark, sf_dir):
+    # EXCEPT DISTINCT as an operator (set difference; like union, the
+    # reference only has ad-hoc driver-side Set manipulation) — custkeys
+    # that placed orders but are outside the low-nation customer slice.
+    # Catalyst plans subtract as a left-anti hash join over distinct
+    # keys, the shape you want at scale (no full-row sort-based except).
+    o = _read(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
+    c = (
+        _read(spark, sf_dir, "customer")
+        .where(F.col("c_nationkey") < 5)
+        .select(F.col("c_custkey").alias("custkey"))
+    )
+    return o.subtract(c)
+
+
 def q_count(spark, sf_dir):
     # count (FlameRDD.java:36)
     li = _read(spark, sf_dir, "lineitem")
@@ -1041,6 +1056,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_rank": q_window_rank,
         "topk_orders": q_topk_orders,
         "union_distinct": q_union_distinct,
+        "except_distinct": q_except_distinct,
         "count": q_count,
         "exact_dedup": q_exact_dedup,
         "jaccard_dedup": q_jaccard_dedup,
@@ -1161,6 +1177,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "union_distinct": """
             SELECT o_custkey AS custkey FROM orders UNION SELECT c_custkey AS custkey FROM customer
+        """,
+        "except_distinct": """
+            SELECT o_custkey AS custkey FROM orders
+            EXCEPT
+            SELECT c_custkey AS custkey FROM customer WHERE c_nationkey < 5
         """,
         "count": "SELECT COUNT(*)::BIGINT AS n FROM lineitem",
         "exact_dedup": f"""
