@@ -972,6 +972,7 @@ _SUBTOK_CTES = """
     subs AS (
       SELECT doc_id, term, pos, 1::INT AS is_sub FROM parted
       WHERE term <> parent AND term <> '' AND length(term) <= {maxword}
+            AND regexp_matches(term, '[a-z]')
             AND NOT list_contains([{skips}], term)
     ),
     subtok AS (

@@ -38,6 +38,24 @@ SIMHASH_BANDS = 4
 SIMHASH_BAND_WIDTH = SIMHASH_BITS // SIMHASH_BANDS
 
 
+def _norm_expr(vec):
+    """sqrt(Σ x²) over an array column — evaluated once per ROW."""
+    return F.sqrt(F.aggregate(vec, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def _pair_cosine(va, vb, na, nb):
+    """6-dp-rounded cosine for a candidate pair whose per-row norms were
+    precomputed BEFORE the pair join (``_norm_expr``): each vector's norm
+    is computed once per row, not once per candidate pair, and every
+    embedding-dedup path shares the exact same arithmetic shape
+    (dot / (norm_a * norm_b), then round) so thresholds are portable
+    across the exact, LSH, and SemDeDup formulations."""
+    dot = F.aggregate(
+        F.zip_with(va, vb, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return F.round(dot / (na * nb), 6)
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(id, …) → (id, canonical_id, group_size): canonical is the min id
     among byte-identical texts. One shuffle, keyed on the 256-bit hash —
@@ -309,23 +327,15 @@ def embedding_dup_pairs(
     v = emb.select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).cast("array<double>").alias("vec"),
-    ).withColumn(
-        "norm", F.sqrt(F.aggregate("vec", F.lit(0.0), lambda acc, x: acc + x * x))
-    )
+    ).withColumn("norm", _norm_expr(F.col("vec")))
     a, b = v.alias("a"), v.alias("b")
     return (
         a.join(b, F.col("a.vid") < F.col("b.vid"))
         .select(
             F.col("a.vid").alias("id_a"),
             F.col("b.vid").alias("id_b"),
-            F.round(
-                F.aggregate(
-                    F.zip_with(F.col("a.vec"), F.col("b.vec"), lambda x, y: x * y),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-                / (F.col("a.norm") * F.col("b.norm")),
-                6,
+            _pair_cosine(
+                F.col("a.vec"), F.col("b.vec"), F.col("a.norm"), F.col("b.norm")
             ).alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
@@ -357,11 +367,11 @@ def embedding_dup_pairs_lsh(
 
     v = emb.select(
         F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v")
-    )
+    ).withColumn("norm", _norm_expr(F.col("v")))
     if dim is None:
         dim = len(v.select("v").first()[0])
     planes = _hyperplanes(dim, n_tables, bits)
-    b = _bucket_codes(v, F.col("v"), planes, "vid")
+    b = _bucket_codes(v, F.col("v"), planes, "vid", extra=("norm",))
     pa, pb = b.alias("a"), b.alias("b")
     cand = (
         pa.join(
@@ -375,20 +385,18 @@ def embedding_dup_pairs_lsh(
             F.col("b.vid").alias("id_b"),
             F.col("a.vec").alias("va"),
             F.col("b.vec").alias("vb"),
+            F.col("a.norm").alias("na"),
+            F.col("b.norm").alias("nb"),
         )
         .dropDuplicates(["id_a", "id_b"])
-    )
-    norm = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x))  # noqa: E731
-    dot = F.aggregate(
-        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
     )
     return (
         cand.select(
             "id_a",
             "id_b",
-            F.round(dot / (norm(F.col("va")) * norm(F.col("vb"))), 6).alias("cosine"),
+            _pair_cosine(
+                F.col("va"), F.col("vb"), F.col("na"), F.col("nb")
+            ).alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
@@ -515,22 +523,22 @@ def semdedup_pairs(
         centroids = kmeans_centroids(
             emb, n_clusters=n_clusters, id_col=id_col, vec_col=vec_col
         )
-    v = emb.select(
-        F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("vec")
-    ).withColumn("cell", _assign_udf(centroids)(F.col("vec")))
-    a, b = v.alias("a"), v.alias("b")
-    dot = F.aggregate(
-        F.zip_with(F.col("a.vec"), F.col("b.vec"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    v = (
+        emb.select(
+            F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("vec")
+        )
+        .withColumn("norm", _norm_expr(F.col("vec")))
+        .withColumn("cell", _assign_udf(centroids)(F.col("vec")))
     )
-    norm = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x))  # noqa: E731
+    a, b = v.alias("a"), v.alias("b")
     return (
         a.join(b, (F.col("a.cell") == F.col("b.cell")) & (F.col("a.vid") < F.col("b.vid")))
         .select(
             F.col("a.vid").alias("id_a"),
             F.col("b.vid").alias("id_b"),
-            F.round(dot / (norm(F.col("a.vec")) * norm(F.col("b.vec"))), 6).alias("cosine"),
+            _pair_cosine(
+                F.col("a.vec"), F.col("b.vec"), F.col("a.norm"), F.col("b.norm")
+            ).alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
     )

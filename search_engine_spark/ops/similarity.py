@@ -97,13 +97,20 @@ def _codes_udf(planes: np.ndarray):
     return codes
 
 
-def _bucket_codes(df: DataFrame, vec_col, planes: np.ndarray, id_alias: str) -> DataFrame:
+def _bucket_codes(
+    df: DataFrame, vec_col, planes: np.ndarray, id_alias: str, extra: tuple = ()
+) -> DataFrame:
     """Attach (table, code) bucket rows per vector — narrow: project the
-    code array via the Arrow matmul UDF, then one posexplode."""
+    code array via the Arrow matmul UDF, then one posexplode. ``extra``
+    names passthrough columns of ``df`` to keep (e.g. a per-row norm
+    precomputed before bucketing)."""
     codes = _codes_udf(planes)
     return df.select(
-        id_alias, vec_col.alias("vec"), F.posexplode(codes(vec_col)).alias("table", "code")
-    ).select(id_alias, "vec", F.col("table").cast("int").alias("table"), "code")
+        id_alias,
+        vec_col.alias("vec"),
+        *extra,
+        F.posexplode(codes(vec_col)).alias("table", "code"),
+    ).select(id_alias, "vec", *extra, F.col("table").cast("int").alias("table"), "code")
 
 
 def lsh_cosine_topk(

@@ -174,18 +174,28 @@ CASED_SPLIT_RE = r"[^a-zA-Z0-9]+"
 # Two boundary rules, applied in this order (both global):
 #   1. acronym→word:  ([A-Z])([A-Z][a-z])   HTTPResponse → HTTP Response
 #   2. lower→upper:   ([a-z0-9])([A-Z])     parseUrl     → parse Url
-# Digit runs are NOT split (`v2` stays `v2`): splitting them floods the
-# index with bare single digits for near-zero retrieval value.
+# Trailing digit runs are NOT split (`v2` stays `v2`); a digit-before-
+# uppercase boundary (rule 2 on `2Fast`) CAN shed a leading bare-digit
+# part, so the subtoken filter additionally requires parts to contain a
+# letter — bare-digit posting lists are near-zero retrieval value.
 _CAMEL_RULES = ((r"([A-Z])([A-Z][a-z])", r"$1 $2"), (r"([a-z0-9])([A-Z])", r"$1 $2"))
 
 
 def _cased_token_array(content_col):
-    """Case-PRESERVING token array under the base tokenizer's exact
-    survival predicate (empty / length / skip-word, all evaluated on the
-    lowercased form). ASCII lowercasing changes neither alphanumeric-ness
-    nor length, so this array is positionally identical to
-    _token_array(content_col) element for element — subtoken rows can
-    copy base-channel positions the way stem rows do."""
+    """Case-PRESERVING token array under the base tokenizer's survival
+    predicate (empty / length / skip-word, all evaluated on the
+    lowercased form). For ASCII text — all code identifiers, and the
+    realistic hot path of a source corpus — lowercasing changes neither
+    alphanumeric-ness nor length, so this array is positionally
+    identical to _token_array(content_col) element for element and
+    subtoken rows can copy base-channel positions the way stem rows do.
+    KNOWN EDGE: a non-ASCII char whose lowercase folds INTO ASCII
+    alnum (e.g. U+212A KELVIN SIGN → 'k') is a delimiter here but not in
+    the base tokenizer, so the two streams can diverge on such text —
+    pinned in tests/test_tokenizer.py::test_subtokens_unicode_fold_edge.
+    The channel is auxiliary (never feeds doc_stats/BM25 of the primary
+    index), so the divergence is a recall detail of subtoken search,
+    not an index-correctness issue."""
     norm = F.substring(content_col, 1, C.MAX_PAGE_LEN)
     toks = F.split(norm, CASED_SPLIT_RE)
     skips = F.array(*[F.lit(w) for w in sorted(C.SKIP_WORDS)])
@@ -237,6 +247,7 @@ def tokenize_subtokens(
         lambda p: (p != parent)
         & (p != F.lit(""))
         & (F.length(p) <= C.MAX_WORD_LEN)
+        & p.rlike("[a-z]")  # no bare-digit parts (see _CAMEL_RULES note)
         & ~F.array_contains(skips, p),
     )
     channel = F.concat(

@@ -680,6 +680,7 @@ def test_semdedup_recall_and_survivors(emb):
         semdedup,
         semdedup_pairs,
     )
+    from search_engine_spark.ops.similarity import kmeans_centroids
 
     spark = emb.sparkSession
     rows = emb.select("vec_id", "embedding").collect()
@@ -694,12 +695,16 @@ def test_semdedup_recall_and_survivors(emb):
         spark.createDataFrame(near + exact_copies, "vec_id long, embedding array<double>")
     ).cache()
 
+    # fit the quantizer ONCE; every semdedup call below reuses it (the
+    # production shape — assignment computed at ingest, shared with ANN)
+    cents = kmeans_centroids(both, n_clusters=8, id_col="vec_id", vec_col="embedding")
+
     exact_pairs = {
         (r["id_a"], r["id_b"]) for r in embedding_dup_pairs(both, threshold=0.95).collect()
     }
     got = {
         (r["id_a"], r["id_b"])
-        for r in semdedup_pairs(both, threshold=0.95, n_clusters=8).collect()
+        for r in semdedup_pairs(both, threshold=0.95, n_clusters=8, centroids=cents).collect()
     }
     assert got <= exact_pairs  # within-cell rescoring is exact
     recall = len(got & exact_pairs) / len(exact_pairs)
@@ -709,10 +714,12 @@ def test_semdedup_recall_and_survivors(emb):
     paired = {i for p in got for i in p}
     assert copy_ids <= paired
 
-    survivors = semdedup(both, threshold=0.95, n_clusters=8)
+    survivors = semdedup(both, threshold=0.95, n_clusters=8, centroids=cents)
     drop = (
         dup_clusters(
-            semdedup_pairs(both, threshold=0.95, n_clusters=8), "id_a", "id_b"
+            semdedup_pairs(both, threshold=0.95, n_clusters=8, centroids=cents),
+            "id_a",
+            "id_b",
         )
         .where("not is_canonical")
         .count()

@@ -165,6 +165,29 @@ def test_subtokens_no_dup_parts_single_token(spark):
     assert rows == [("parse", 1, 1), ("parseparse", 1, 0)]
 
 
+def test_subtokens_no_bare_digit_parts(spark):
+    # digit-before-uppercase (rule 2) sheds a leading digit run; the
+    # part filter requires a letter, so '2' is never indexed while
+    # letter-bearing parts ('fast', 'value3') survive
+    rows = subtoken_rows(spark, "2Fast getValue3")
+    assert ("2", 1, 1) not in rows
+    assert ("fast", 1, 1) in rows
+    assert {("get", 2, 1), ("value3", 2, 1)} <= set(rows)
+
+
+def test_subtokens_unicode_fold_edge(spark):
+    # Documented divergence (tokenize.py _cased_token_array): U+212A
+    # KELVIN SIGN lowercases to ASCII 'k', so the base tokenizer keeps
+    # 'kbar' as one token while the cased split treats the sign as a
+    # delimiter. Pin the ACTUAL behavior of both streams so any change
+    # is deliberate.
+    content = "foo KBar baz"
+    assert [t for t, _ in spark_tokens(spark, content)] == ["foo", "kbar", "baz"]
+    rows = subtoken_rows(spark, content)
+    assert ("bar", 2, 0) in rows  # cased split: 'Bar' token, no 'kbar'
+    assert all(t != "kbar" for t, _, _ in rows)
+
+
 def test_subtokens_plain_words_add_no_rows(spark):
     # all-lowercase text has no camel boundaries: subtoken channel empty
     rows = subtoken_rows(spark, "plain lower words only")
