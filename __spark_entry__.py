@@ -92,6 +92,18 @@ _DUPS_CTE = r"""dd AS (
   FROM documents)"""
 
 
+# MinHash permutation coefficients, inlined as a VALUES table so the
+# DuckDB oracle applies the IDENTICAL (a·h+b) mod M31 family — single
+# source: the same pure-Python LCG the Spark perm table is built from.
+from search_engine_spark.ops.dedup import (  # noqa: E402
+    MINHASH_BANDS as _MH_BANDS,
+    MINHASH_PERMS as _MH_PERMS,
+    minhash_perm_coeffs as _mh_coeffs,
+)
+
+_MINHASH_PERM_VALUES = ", ".join(f"({i}, {a}, {b})" for i, a, b in _mh_coeffs())
+
+
 # shared 3-gram shingle / intersection CTEs over the dd fixture — used by
 # the jaccard_dedup oracle and (with a recursive closure on top) by
 # dedup_clusters; must match ops.dedup.token_shingles token-for-token.
@@ -490,8 +502,10 @@ def q_dedup_clusters(spark, sf_dir):
 
 
 def q_minhash_lsh(spark, sf_dir):
-    # probabilistic candidate recall → no SQL oracle (xxhash64 has no
-    # DuckDB twin); exactness gated by tests/test_ops.py recall floor
+    # fully oracle-checked: shingle hash and band keys are md5-derived
+    # (DuckDB-identical) and the LCG permutation coefficients are inlined
+    # into the oracle SQL from the same pure-Python generator — the LSH
+    # recall trade-off is still gated by tests/test_ops.py's floor
     from search_engine_spark.ops.dedup import minhash_lsh_pairs
 
     return minhash_lsh_pairs(_docs_with_dups(spark, sf_dir), n=3, threshold=0.5)
@@ -1252,6 +1266,36 @@ def oracle_sql() -> dict[str, str]:
               JOIN (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings) b
                 ON a.vec_id < b.vec_id)
             WHERE cosine >= 0.3
+        """,
+        "minhash_lsh": f"""
+            WITH {_DUPS_CTE},
+            {_JACCARD_CTES},
+            perms(perm_id, a, b) AS (VALUES {_MINHASH_PERM_VALUES}),
+            hashed AS (SELECT doc_id,
+                              CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT)
+                                % 2147483647 AS h
+                       FROM sh),
+            sig AS (SELECT doc_id, p.perm_id,
+                           MIN((p.a * h + p.b) % 2147483647) AS minhash
+                    FROM hashed CROSS JOIN perms p GROUP BY doc_id, p.perm_id),
+            bands AS (SELECT doc_id,
+                             (perm_id // {_MH_PERMS // _MH_BANDS})::INT AS band,
+                             md5(string_agg(perm_id || ':' || minhash, ','
+                                 ORDER BY perm_id || ':' || minhash)) AS band_hash
+                      FROM sig GROUP BY doc_id, band),
+            cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                     FROM bands a JOIN bands b
+                       ON a.band = b.band AND a.band_hash = b.band_hash
+                          AND a.doc_id < b.doc_id),
+            est AS (SELECT id_a, id_b,
+                           SUM(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END)::DOUBLE
+                             / {_MH_PERMS} AS est_jaccard
+                    FROM cand
+                    JOIN sig sa ON sa.doc_id = id_a
+                    JOIN sig sb ON sb.doc_id = id_b AND sb.perm_id = sa.perm_id
+                    GROUP BY id_a, id_b)
+            SELECT id_a, id_b, ROUND(est_jaccard, 6) AS est_jaccard
+            FROM est WHERE est_jaccard >= 0.5
         """,
         "simhash_pairs": f"""
             WITH {_DUPS_CTE},

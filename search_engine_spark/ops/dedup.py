@@ -147,9 +147,10 @@ def jaccard_dup_pairs(
     )
 
 
-def _perm_table(spark, n_perms: int = MINHASH_PERMS):
+def minhash_perm_coeffs(n_perms: int = MINHASH_PERMS) -> list[tuple[int, int, int]]:
     """Deterministic (perm_id, a, b) coefficients for h_i(x) = (a·x+b) mod
-    M31. Derived from a fixed LCG so every run/executor agrees."""
+    M31. Derived from a fixed LCG so every run/executor agrees — and pure
+    Python, so the DuckDB oracle can inline the identical table."""
     rows = []
     state = 88172645463325252
     for i in range(n_perms):
@@ -158,7 +159,13 @@ def _perm_table(spark, n_perms: int = MINHASH_PERMS):
         state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
         bb = state % MERSENNE_31
         rows.append((i, aa, bb))
-    return spark.createDataFrame(rows, "perm_id int, a long, b long")
+    return rows
+
+
+def _perm_table(spark, n_perms: int = MINHASH_PERMS):
+    return spark.createDataFrame(
+        minhash_perm_coeffs(n_perms), "perm_id int, a long, b long"
+    )
 
 
 def minhash_signatures(
@@ -169,12 +176,18 @@ def minhash_signatures(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """(id, text) → (doc_id, perm_id, minhash). Fully native: shingle →
-    xxhash64 → broadcast×perm table → groupBy min. |docs|·|shingles|·
-    |perms| rows flow through ONE partial-aggregated shuffle — the
-    map-side min collapses each (doc, perm) group before exchange."""
+    md5-derived 60-bit int mod M31 (DuckDB computes the identical value,
+    so the whole operator is oracle-checkable like simhash) → broadcast×
+    perm table → groupBy min. |docs|·|shingles|·|perms| rows flow through
+    ONE partial-aggregated shuffle — the map-side min collapses each
+    (doc, perm) group before exchange."""
     sh = token_shingles(df, n, text_col, id_col)
     hashed = sh.select(
-        "doc_id", F.pmod(F.xxhash64("shingle"), F.lit(MERSENNE_31)).alias("h")
+        "doc_id",
+        F.pmod(
+            F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long"),
+            F.lit(MERSENNE_31),
+        ).alias("h"),
     )
     perms = _perm_table(df.sparkSession, n_perms)
     return (
@@ -195,15 +208,20 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Candidate pairs from LSH band buckets, scored by the signature-
     estimated Jaccard (fraction of agreeing components), filtered at
-    ``threshold``. Probabilistic recall (tested against planted dups);
-    the exact variant is :func:`jaccard_dup_pairs`."""
+    ``threshold``. The bucketing is probabilistic in the LSH sense
+    (recall tested against planted dups; :func:`jaccard_dup_pairs` is
+    the exact variant), but every arithmetic step is md5-based and
+    engine-portable, so the operator carries a full DuckDB oracle.
+    Band keys are md5 hex of the sorted component string — any
+    deterministic digest works for the bucket equi-join, and md5 exists
+    bit-identically in both engines."""
     rows_per_band = n_perms // n_bands
     sig = minhash_signatures(df, n, n_perms, text_col, id_col)
     bands = (
         sig.withColumn("band", (F.col("perm_id") / rows_per_band).cast("int"))
         .groupBy("doc_id", "band")
         .agg(
-            F.xxhash64(
+            F.md5(
                 F.concat_ws(",", F.sort_array(F.collect_list(F.concat_ws(":", "perm_id", "minhash"))))
             ).alias("band_hash")
         )
