@@ -479,10 +479,38 @@ def _docs_with_dups(spark, sf_dir):
     return d.union(near)
 
 
+def _docs_with_lines(spark, sf_dir):
+    """Multi-line fixture for the line-dedup pass (documents.text has no
+    newlines): every doc gains a corpus-wide boilerplate last line
+    (df = all docs), even ids gain a second boilerplate line (df = half)
+    while odd ids gain a UNIQUE line (df = 1) — shared verbatim with the
+    oracle's dl CTE."""
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 2 == 0, F.lit("subscribe to our newsletter")
+            ).otherwise(F.concat(F.lit("unique tail "), F.col("doc_id"))),
+            F.lit("copyright 2026 example corp"),
+        ).alias("text"),
+    )
+
+
 def q_exact_dedup(spark, sf_dir):
     from search_engine_spark.ops.dedup import exact_dedup
 
     return exact_dedup(_docs_with_dups(spark, sf_dir))
+
+
+def q_line_dedup(spark, sf_dir):
+    # RefinedWeb/CCNet boilerplate pass: lines occurring in >=2 distinct
+    # docs are removed everywhere, docs reassembled in original order
+    from search_engine_spark.ops.dedup import line_dedup
+
+    return line_dedup(_docs_with_lines(spark, sf_dir), min_df=2)
 
 
 def q_jaccard_dedup(spark, sf_dir):
@@ -1074,6 +1102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "except_distinct": q_except_distinct,
         "count": q_count,
         "exact_dedup": q_exact_dedup,
+        "line_dedup": q_line_dedup,
         "jaccard_dedup": q_jaccard_dedup,
         "dedup_clusters": q_dedup_clusters,
         "minhash_lsh": q_minhash_lsh,
@@ -1204,6 +1233,26 @@ def oracle_sql() -> dict[str, str]:
             c AS (SELECT text, MIN(doc_id) AS canonical_id, COUNT(*)::BIGINT AS group_size
                   FROM dd GROUP BY text)
             SELECT dd.doc_id, c.canonical_id, c.group_size FROM dd JOIN c USING (text)
+        """,
+        "line_dedup": """
+            WITH dl AS (
+              SELECT doc_id,
+                     text || chr(10)
+                          || CASE WHEN doc_id % 2 = 0
+                                  THEN 'subscribe to our newsletter'
+                                  ELSE 'unique tail ' || doc_id END
+                          || chr(10) || 'copyright 2026 example corp' AS text
+              FROM documents),
+            lines AS (SELECT doc_id, i AS idx, arr[i] AS line
+                      FROM (SELECT doc_id, string_split(text, chr(10)) AS arr,
+                                   unnest(generate_series(1, len(string_split(text, chr(10))))) AS i
+                            FROM dl)),
+            hot AS (SELECT trim(line) AS l FROM lines WHERE trim(line) <> ''
+                    GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2),
+            kept AS (SELECT doc_id, idx, line FROM lines
+                     WHERE trim(line) NOT IN (SELECT l FROM hot))
+            SELECT doc_id, string_agg(line, chr(10) ORDER BY idx) AS text
+            FROM kept GROUP BY doc_id
         """,
         "jaccard_dedup": f"""
             WITH {_DUPS_CTE},

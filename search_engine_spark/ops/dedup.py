@@ -67,6 +67,48 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return h.join(canon, "sha").select("doc_id", "canonical_id", "group_size")
 
 
+def line_dedup(
+    df: DataFrame, min_df: int = 2, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-wide boilerplate LINE removal (the RefinedWeb / CCNet
+    line-dedup pass): any non-empty trimmed line that occurs in ≥
+    ``min_df`` DISTINCT documents (nav bars, cookie banners, license
+    headers) is removed from every document; surviving lines are
+    reassembled in original order. A document whose lines are ALL
+    boilerplate drops out of the result — the desired pipeline
+    semantics (an all-boilerplate doc carries no training signal).
+
+    Scale shape: one posexplode (narrow), one partial-aggregated
+    count-distinct shuffle keyed on the trimmed line, one anti-join of
+    the line stream against the hot-line set (boilerplate lines are a
+    tiny fraction of distinct lines — AQE turns this into a broadcast
+    join when the set fits), and one reassembly shuffle keyed on doc_id.
+    Nothing corpus-quadratic anywhere. Reference analog: none — the
+    reference never mutates page text; this is a training-data
+    extension (Penedo et al. 2023, RefinedWeb §3.3)."""
+    lines = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("idx", "line"),
+    )
+    hot = (
+        lines.where(F.trim(F.col("line")) != "")
+        .groupBy(F.trim(F.col("line")).alias("l"))
+        .agg(F.count_distinct("doc_id").alias("line_df"))
+        .where(F.col("line_df") >= min_df)
+        .select("l")
+    )
+    kept = lines.join(hot, F.trim(lines["line"]) == hot["l"], "left_anti")
+    return kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("text")
+    )
+
+
 def word_array(text_col):
     """lowercased alnum token array — the one tokenizer every shingle
     consumer (Jaccard, MinHash, decontam, repetition stats) shares."""

@@ -96,6 +96,33 @@ def test_exact_dedup(docs_with_dups, docs):
         assert dup_of[i + 10_000] != i
 
 
+def test_line_dedup_boilerplate_removal(spark):
+    from search_engine_spark.ops.dedup import line_dedup
+
+    rows = [
+        (1, "alpha unique one\nsubscribe now\n\ncopyright corp"),
+        (2, "beta unique two\nsubscribe now\ncopyright corp"),
+        (3, "subscribe now\ncopyright corp"),  # all-boilerplate (+ df>=2)
+        (4, "gamma solo line"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["text"] for r in line_dedup(df, min_df=2).collect()}
+    # boilerplate lines (df>=2) vanish everywhere; unique lines + empty
+    # lines survive, original order preserved
+    assert got[1] == "alpha unique one\n"
+    assert got[2] == "beta unique two"
+    assert got[4] == "gamma solo line"
+    # a doc that was ALL boilerplate drops out entirely
+    assert 3 not in got
+    # whitespace-padded twins fold onto the same trimmed key
+    df2 = spark.createDataFrame(
+        [(1, "subscribe now \nkeep a"), (2, " subscribe now\nkeep b")],
+        "doc_id long, text string",
+    )
+    got2 = {r["doc_id"]: r["text"] for r in line_dedup(df2, min_df=2).collect()}
+    assert got2 == {1: "keep a", 2: "keep b"}
+
+
 def test_jaccard_pairs_find_planted(docs_with_dups, docs):
     pairs = jaccard_dup_pairs(docs_with_dups, n=3, threshold=0.5).collect()
     got = {(r["id_a"], r["id_b"]) for r in pairs}
