@@ -160,6 +160,24 @@ def test_redact_pii_shuffle_free_jvm_side(docs):
     assert "Python" not in plan, plan
 
 
+def test_line_dedup_broadcast_anti_join_three_exchanges(docs):
+    """line_dedup's scale contract: the hot-line set builds through
+    partial-aggregated exchanges (count-distinct = pre-distinct + agg)
+    and reaches the corpus line stream as the BUILD side of an anti
+    join — never a cartesian, never Python, and exactly three hash
+    exchanges (line-df pre-distinct, line-df agg, doc reassembly)."""
+    from search_engine_spark.ops.dedup import line_dedup
+
+    d = docs.select(
+        "doc_id", F.concat_ws("\n", "text", F.lit("footer line")).alias("text")
+    )
+    plan = _plan(line_dedup(d, min_df=2))
+    assert "CartesianProduct" not in plan, plan
+    assert "Python" not in plan, plan
+    assert "LeftAnti" in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 3, plan
+
+
 def test_subtoken_channel_single_scan_no_shuffle(docs):
     """The subtoken channel must read the corpus ONCE (a union of two
     branches would scan the parquet twice — 2x I/O at 100 TB) and stay
