@@ -513,6 +513,14 @@ def q_line_dedup(spark, sf_dir):
     return line_dedup(_docs_with_lines(spark, sf_dir), min_df=2)
 
 
+def q_duplicate_spans(spark, sf_dir):
+    # Lee et al. exact-substring family: 10-token windows repeated in
+    # >=2 distinct docs, positional (1-based token offset), md5 hashed
+    from search_engine_spark.ops.dedup import duplicate_spans
+
+    return duplicate_spans(_docs_with_dups(spark, sf_dir), span=10, min_df=2)
+
+
 def q_jaccard_dedup(spark, sf_dir):
     from search_engine_spark.ops.dedup import jaccard_dup_pairs
 
@@ -1103,6 +1111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "count": q_count,
         "exact_dedup": q_exact_dedup,
         "line_dedup": q_line_dedup,
+        "duplicate_spans": q_duplicate_spans,
         "jaccard_dedup": q_jaccard_dedup,
         "dedup_clusters": q_dedup_clusters,
         "minhash_lsh": q_minhash_lsh,
@@ -1253,6 +1262,22 @@ def oracle_sql() -> dict[str, str]:
                      WHERE trim(line) NOT IN (SELECT l FROM hot))
             SELECT doc_id, string_agg(line, chr(10) ORDER BY idx) AS text
             FROM kept GROUP BY doc_id
+        """,
+        "duplicate_spans": f"""
+            WITH {_DUPS_CTE},
+            spans AS (
+              SELECT doc_id, i::INT AS pos,
+                     md5(array_to_string(arr[i:i+9], ' ')) AS span_hash
+              FROM (SELECT doc_id,
+                           list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                       x -> x <> '') AS arr,
+                           unnest(generate_series(1, greatest(
+                             len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                             x -> x <> '')) - 9, 0))) AS i
+                    FROM dd)),
+            hot AS (SELECT span_hash, COUNT(DISTINCT doc_id)::BIGINT AS span_df
+                    FROM spans GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2)
+            SELECT doc_id, pos, span_hash, span_df FROM spans JOIN hot USING (span_hash)
         """,
         "jaccard_dedup": f"""
             WITH {_DUPS_CTE},

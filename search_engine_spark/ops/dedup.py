@@ -204,6 +204,46 @@ def minhash_perm_coeffs(n_perms: int = MINHASH_PERMS) -> list[tuple[int, int, in
     return rows
 
 
+def duplicate_spans(
+    df: DataFrame,
+    span: int = 10,
+    min_df: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-substring duplicate detection (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better",
+    arXiv:2107.06499): every ``span``-token window whose fingerprint
+    occurs in ≥ ``min_df`` DISTINCT documents is reported as
+    (doc_id, pos, span_hash, span_df) — pos is the 1-based token offset
+    of the window. This is the POSITIONAL family next to set-based
+    shingle Jaccard: its output drives span-level removal/curation
+    (clip the repeated range, keep the unique remainder), the dedup
+    granularity the paper shows matters beyond whole-doc near-dup.
+
+    The paper builds suffix arrays; the Spark-first shape is a window
+    fingerprint stream (narrow generate, reusing the shared shingle
+    builder) through ONE partial-aggregated count-distinct shuffle,
+    then an equi-join of the stream against the hot-fingerprint set
+    (≪ distinct windows; AQE broadcasts it when it fits). Fingerprint
+    is md5 — DuckDB-identical, so the operator is fully
+    oracle-checked."""
+    sh = shingle_array(word_array(F.col(text_col)), span)
+    spans = df.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(sh).alias("pos0", "s")
+    ).select(
+        "doc_id",
+        (F.col("pos0") + 1).cast("int").alias("pos"),
+        F.md5("s").alias("span_hash"),
+    )
+    hot = (
+        spans.groupBy("span_hash")
+        .agg(F.count_distinct("doc_id").alias("span_df"))
+        .where(F.col("span_df") >= min_df)
+    )
+    return spans.join(hot, "span_hash").select("doc_id", "pos", "span_hash", "span_df")
+
+
 def _perm_table(spark, n_perms: int = MINHASH_PERMS):
     return spark.createDataFrame(
         minhash_perm_coeffs(n_perms), "perm_id int, a long, b long"

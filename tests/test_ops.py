@@ -123,6 +123,31 @@ def test_line_dedup_boilerplate_removal(spark):
     assert got2 == {1: "keep a", 2: "keep b"}
 
 
+def test_duplicate_spans_positions_and_df(spark):
+    from search_engine_spark.ops.dedup import duplicate_spans
+
+    shared = "one two three four"  # 4-token span planted in docs 1..3
+    rows = [
+        (1, f"alpha beta {shared} gamma"),
+        (2, f"{shared} delta epsilon"),
+        (3, f"zeta {shared}"),
+        (4, "totally unrelated words here now"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = duplicate_spans(df, span=4, min_df=2).collect()
+    # every reported span is the planted one (docs 1-3); doc 4 is clean
+    assert {r["doc_id"] for r in got} == {1, 2, 3}
+    by_doc = {r["doc_id"]: r for r in got}
+    # 1-based token offsets of the planted window
+    assert by_doc[1]["pos"] == 3
+    assert by_doc[2]["pos"] == 1
+    assert by_doc[3]["pos"] == 2
+    assert len({r["span_hash"] for r in got}) == 1
+    assert all(r["span_df"] == 3 for r in got)
+    # docs shorter than the span produce no windows at all
+    assert duplicate_spans(df, span=10, min_df=1).where("doc_id = 3").count() == 0
+
+
 def test_jaccard_pairs_find_planted(docs_with_dups, docs):
     pairs = jaccard_dup_pairs(docs_with_dups, n=3, threshold=0.5).collect()
     got = {(r["id_a"], r["id_b"]) for r in pairs}
