@@ -178,6 +178,20 @@ def test_line_dedup_broadcast_anti_join_three_exchanges(docs):
     assert plan.count("Exchange hashpartitioning") <= 3, plan
 
 
+def test_duplicate_spans_two_exchanges_no_python(docs):
+    """duplicate_spans' scale contract: the window-fingerprint stream is
+    a narrow generate (md5 is a JVM builtin), the hot-set build is one
+    partial-aggregated count-distinct (two hash exchanges incl. the
+    pre-distinct), and the stream joins the hot set without a cartesian
+    or any Python evaluation."""
+    from search_engine_spark.ops.dedup import duplicate_spans
+
+    plan = _plan(duplicate_spans(docs.select("doc_id", "text"), span=5))
+    assert "CartesianProduct" not in plan, plan
+    assert "Python" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 3, plan
+
+
 def test_subtoken_channel_single_scan_no_shuffle(docs):
     """The subtoken channel must read the corpus ONCE (a union of two
     branches would scan the parquet twice — 2x I/O at 100 TB) and stay
