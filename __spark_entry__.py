@@ -104,6 +104,24 @@ from search_engine_spark.ops.dedup import (  # noqa: E402
 _MINHASH_PERM_VALUES = ", ".join(f"({i}, {a}, {b})" for i, a, b in _mh_coeffs())
 
 
+# shared 10-token window-fingerprint CTEs over the dd fixture — single
+# definition for the duplicate_spans / remove_duplicate_spans oracles;
+# must match ops.dedup.duplicate_spans (word_array + shingle_array +
+# md5) token-for-token.
+_SPAN_CTES = """spans AS (
+              SELECT doc_id, i::INT AS pos,
+                     md5(array_to_string(arr[i:i+9], ' ')) AS span_hash
+              FROM (SELECT doc_id,
+                           list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                       x -> x <> '') AS arr,
+                           unnest(generate_series(1, greatest(
+                             len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                             x -> x <> '')) - 9, 0))) AS i
+                    FROM dd)),
+            hot AS (SELECT span_hash, COUNT(DISTINCT doc_id)::BIGINT AS span_df
+                    FROM spans GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2)"""
+
+
 # shared 3-gram shingle / intersection CTEs over the dd fixture — used by
 # the jaccard_dedup oracle and (with a recursive closure on top) by
 # dedup_clusters; must match ops.dedup.token_shingles token-for-token.
@@ -519,6 +537,14 @@ def q_duplicate_spans(spark, sf_dir):
     from search_engine_spark.ops.dedup import duplicate_spans
 
     return duplicate_spans(_docs_with_dups(spark, sf_dir), span=10, min_df=2)
+
+
+def q_remove_duplicate_spans(spark, sf_dir):
+    # span-level removal: corpus-wide first occurrence kept, all other
+    # occurrences' tokens stripped, docs reassembled token-level
+    from search_engine_spark.ops.dedup import remove_duplicate_spans
+
+    return remove_duplicate_spans(_docs_with_dups(spark, sf_dir), span=10, min_df=2)
 
 
 def q_jaccard_dedup(spark, sf_dir):
@@ -1112,6 +1138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "line_dedup": q_line_dedup,
         "duplicate_spans": q_duplicate_spans,
+        "remove_duplicate_spans": q_remove_duplicate_spans,
         "jaccard_dedup": q_jaccard_dedup,
         "dedup_clusters": q_dedup_clusters,
         "minhash_lsh": q_minhash_lsh,
@@ -1265,19 +1292,33 @@ def oracle_sql() -> dict[str, str]:
         """,
         "duplicate_spans": f"""
             WITH {_DUPS_CTE},
-            spans AS (
-              SELECT doc_id, i::INT AS pos,
-                     md5(array_to_string(arr[i:i+9], ' ')) AS span_hash
-              FROM (SELECT doc_id,
-                           list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
-                                       x -> x <> '') AS arr,
-                           unnest(generate_series(1, greatest(
-                             len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
-                                             x -> x <> '')) - 9, 0))) AS i
-                    FROM dd)),
-            hot AS (SELECT span_hash, COUNT(DISTINCT doc_id)::BIGINT AS span_df
-                    FROM spans GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2)
+            {_SPAN_CTES}
             SELECT doc_id, pos, span_hash, span_df FROM spans JOIN hot USING (span_hash)
+        """,
+        "remove_duplicate_spans": f"""
+            WITH {_DUPS_CTE},
+            {_SPAN_CTES},
+            occ AS (SELECT doc_id, pos, span_hash FROM spans JOIN hot USING (span_hash)),
+            extra AS (SELECT doc_id, pos FROM (
+                        SELECT doc_id, pos, ROW_NUMBER() OVER (
+                          PARTITION BY span_hash ORDER BY doc_id, pos) AS rn
+                        FROM occ) WHERE rn > 1),
+            kill AS (SELECT DISTINCT doc_id, tpos FROM (
+                       SELECT doc_id, unnest(generate_series(pos, pos + 9)) AS tpos
+                       FROM extra)),
+            toks AS (SELECT doc_id, i::INT AS tpos, arr[i] AS tok
+                     FROM (SELECT doc_id,
+                                  list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                              x -> x <> '') AS arr,
+                                  unnest(generate_series(1, len(
+                                    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                                x -> x <> '')))) AS i
+                           FROM dd)),
+            kept AS (SELECT t.doc_id, t.tpos, t.tok FROM toks t
+                     WHERE NOT EXISTS (SELECT 1 FROM kill k
+                                       WHERE k.doc_id = t.doc_id AND k.tpos = t.tpos))
+            SELECT doc_id, string_agg(tok, ' ' ORDER BY tpos) AS text
+            FROM kept GROUP BY doc_id
         """,
         "jaccard_dedup": f"""
             WITH {_DUPS_CTE},

@@ -244,6 +244,61 @@ def duplicate_spans(
     return spans.join(hot, "span_hash").select("doc_id", "pos", "span_hash", "span_df")
 
 
+def remove_duplicate_spans(
+    df: DataFrame,
+    span: int = 10,
+    min_df: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Span-level removal completing :func:`duplicate_spans` the way
+    :func:`remove_near_dups` completes the pair families: the
+    corpus-wide FIRST occurrence of each duplicated window — min
+    (doc_id, pos) — is kept, every other occurrence's tokens are
+    removed, and each document is reassembled from its surviving
+    tokens (Lee et al. 2021 semantics: drop repeats, keep one copy).
+
+    Operates on the NORMALIZED token stream (lowercase alnum,
+    single-space joined) — output text is token-level, not original
+    bytes, the form a training pipeline tokenizes anyway. Overlapping
+    duplicated windows union their covered offsets, and a document
+    whose every token is covered drops out of the result.
+
+    Scale shape: canonical selection is a partial-aggregated
+    min(struct) groupBy on the fingerprint (skew-safe — no windowed
+    sort over a hot fingerprint's million occurrences), the kill set
+    explodes only NON-canonical occurrences (× span), and the token
+    stream anti-joins it on (doc_id, tpos) before one reassembly
+    shuffle."""
+    occ = duplicate_spans(df, span, min_df, text_col, id_col).select(
+        "doc_id", "pos", "span_hash"
+    )
+    canon = occ.groupBy("span_hash").agg(F.min(F.struct("doc_id", "pos")).alias("c"))
+    extra = occ.join(canon, "span_hash").where(
+        (F.col("doc_id") != F.col("c.doc_id")) | (F.col("pos") != F.col("c.pos"))
+    )
+    kill = extra.select(
+        "doc_id",
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(span - 1))).alias(
+            "tpos"
+        ),
+    ).distinct()
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(word_array(F.col(text_col))).alias("tpos0", "tok"),
+    ).select("doc_id", (F.col("tpos0") + 1).cast("int").alias("tpos"), "tok")
+    kept = toks.join(kill, ["doc_id", "tpos"], "left_anti")
+    return kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("tpos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("text")
+    )
+
+
 def _perm_table(spark, n_perms: int = MINHASH_PERMS):
     return spark.createDataFrame(
         minhash_perm_coeffs(n_perms), "perm_id int, a long, b long"

@@ -148,6 +148,29 @@ def test_duplicate_spans_positions_and_df(spark):
     assert duplicate_spans(df, span=10, min_df=1).where("doc_id = 3").count() == 0
 
 
+def test_remove_duplicate_spans_keeps_first_occurrence(spark):
+    from search_engine_spark.ops.dedup import remove_duplicate_spans
+
+    shared = "one two three four"
+    rows = [
+        (1, f"alpha beta {shared} gamma"),  # canonical (min doc_id)
+        (2, f"{shared} delta epsilon"),
+        (3, f"zeta {shared}"),
+        (4, "totally unrelated words here now"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["text"]
+        for r in remove_duplicate_spans(df, span=4, min_df=2).collect()
+    }
+    # doc 1 holds the corpus-wide first occurrence: untouched (token form)
+    assert got[1] == f"alpha beta {shared} gamma"
+    # later occurrences stripped, unique remainders survive in order
+    assert got[2] == "delta epsilon"
+    assert got[3] == "zeta"
+    assert got[4] == "totally unrelated words here now"
+
+
 def test_jaccard_pairs_find_planted(docs_with_dups, docs):
     pairs = jaccard_dup_pairs(docs_with_dups, n=3, threshold=0.5).collect()
     got = {(r["id_a"], r["id_b"]) for r in pairs}
