@@ -1,17 +1,24 @@
 """Deduplication operators for large-scale training-data pipelines.
 
-Four families, each expressed Spark-first (native ``pyspark.sql.functions``
+Each family is expressed Spark-first (native ``pyspark.sql.functions``
 throughout — the shuffle-heavy shapes below are the standard web-scale
 dedup layouts and contain zero per-row Python):
 
 - **exact**: hash-groupBy on ``sha2(text)`` — one shuffle on the hash.
+- **line**: corpus-wide boilerplate line removal (RefinedWeb §3.3) —
+  hot-line count-distinct + broadcast anti-join + ordered reassembly.
+- **span**: positional exact-substring detection + first-occurrence-keep
+  removal (Lee et al. 2021 granularity) via window fingerprints.
 - **n-gram Jaccard**: shingle inverted index self-join — the exact
   similarity-join; candidate pairs only materialize for docs sharing a
-  shingle.
+  shingle (df-cappable for boilerplate-hot shingles).
 - **MinHash + LSH**: shingle → 64 permuted min-hashes → band buckets →
   bucket self-join. Scale path: cost is O(docs × shingles × perms) rows
   through two aggregations, never all-pairs.
-- **SimHash**: 64-bit tf-weighted fingerprint → banded Hamming join.
+- **SimHash**: 60-bit tf-weighted fingerprint → banded Hamming join.
+- **embedding cosine**: exact all-pairs baseline, SRP-LSH bucketed scale
+  path, and SemDeDup k-means-cell path; pairs resolve to clusters
+  (large-star/small-star connected components) and anti-join removal.
 
 The reference repo's only dedup is the crawler's exact content-seen map
 (page text → canonicalURL, /root/reference/src/cis5550/jobs/
