@@ -739,6 +739,14 @@ def q_token_counts(spark, sf_dir):
     return token_counts(_read(spark, sf_dir, "documents"))
 
 
+def q_unigram_ppl(spark, sf_dir):
+    # CCNet-style perplexity quality filter under a corpus-trained
+    # unigram LM (swappable model table; KenLM not hostable here)
+    from search_engine_spark.ops.textstats import unigram_perplexity
+
+    return unigram_perplexity(_read(spark, sf_dir, "documents"))
+
+
 def q_fingerprints(spark, sf_dir):
     from search_engine_spark.ops.textstats import fingerprints
 
@@ -1161,6 +1169,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality": q_quality,
         "repetition_stats": q_repetition_stats,
         "token_counts": q_token_counts,
+        "unigram_ppl": q_unigram_ppl,
         "fingerprints": q_fingerprints,
         "multimodal_features": q_multimodal_features,
         "frame_plan": q_frame_plan,
@@ -1563,6 +1572,17 @@ def oracle_sql() -> dict[str, str]:
                    list_min(list_transform(generate_series(1, greatest(length(lower(text)) - 7, 1)),
                                            i -> md5(substr(lower(text), i, 8)))) AS fingerprint
             FROM documents
+        """,
+        "unigram_ppl": """
+            WITH toks AS (SELECT doc_id,
+                                 unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                                    x -> x <> '')) AS term
+                          FROM documents),
+            tf AS (SELECT term, COUNT(*)::BIGINT AS tf FROM toks GROUP BY term),
+            lm AS (SELECT term, ln(tf / (SELECT SUM(tf) FROM tf)) AS logp FROM tf)
+            SELECT doc_id, COUNT(*)::BIGINT AS n_toks,
+                   ROUND(exp(-AVG(logp)), 6) AS ppl
+            FROM toks JOIN lm USING (term) GROUP BY doc_id
         """,
         "multimodal_features": """
             SELECT doc_id AS media_id,

@@ -224,3 +224,52 @@ def repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
         F.round(F.coalesce(F.col("ut") / F.col("un"), F.lit(0.0)), 6).alias("top_tok_frac"),
         F.round(F.coalesce(F.col("bt") / F.col("bn"), F.lit(0.0)), 6).alias("top_bigram_frac"),
     )
+
+
+def unigram_logprobs(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(term, logp): corpus-trained unigram language model —
+    logp = ln(tf_corpus / total_tokens). One partial-aggregated shuffle
+    on the term; the scalar total rides a broadcast 1-row frame (no
+    driver collect)."""
+    toks = df.select(F.explode(_tok_arr(F.col(text_col))).alias("term"))
+    tf = toks.groupBy("term").agg(F.count("*").alias("tf"))
+    total = tf.agg(F.sum("tf").alias("total"))
+    return tf.crossJoin(F.broadcast(total)).select(
+        "term", F.log(F.col("tf") / F.col("total")).alias("logp")
+    )
+
+
+def unigram_perplexity(
+    df: DataFrame,
+    model: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, n_toks, ppl): perplexity quality filter — the CCNet
+    pipeline stage (Wenzek et al. 2020, arXiv:1911.00359) that ranks
+    documents by LM perplexity and keeps the low-perplexity head.
+    ppl = exp(-mean ln p(token)) under a unigram model; production
+    CCNet ships a KenLM 5-gram, which this container cannot host — the
+    unigram LM is the same dataflow (model join + per-doc logprob agg)
+    with a swappable model table. ``model`` defaults to the LM trained
+    on ``df`` itself (self-perplexity ranking: boilerplate-heavy docs
+    of common tokens score LOW ppl, rare-token noise scores HIGH).
+
+    Scale shape: the token stream joins the (term, logp) model —
+    vocabulary ≪ corpus, so AQE broadcasts it — then one partial-agg
+    groupBy(doc_id). A doc with zero surviving tokens has undefined
+    perplexity and drops out (same empty-doc contract as the dedup
+    reassembly ops). ppl rounded 6dp for engine-portable thresholds."""
+    if model is None:
+        model = unigram_logprobs(df, text_col)
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(_tok_arr(F.col(text_col))).alias("term")
+    )
+    return (
+        toks.join(model, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_toks"),
+            F.round(F.exp(-F.avg("logp")), 6).alias("ppl"),
+        )
+    )

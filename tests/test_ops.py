@@ -412,6 +412,49 @@ def test_token_counts_python_parity(docs):
         assert r["n_bpe_tokens"] == len(re.findall(r"[a-z]+|[0-9]|[^a-z0-9\s]", t.lower()))
 
 
+def test_unigram_perplexity_python_parity(spark, docs):
+    import math
+
+    from search_engine_spark.ops.textstats import unigram_perplexity
+
+    # crisp invariant: a perfectly uniform corpus (every term once) has
+    # self-perplexity exactly |vocab| for every doc
+    uni = spark.createDataFrame(
+        [(1, "aa bb cc"), (2, "dd ee"), (3, "ff")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in unigram_perplexity(uni).collect()}
+    assert all(abs(got[i]["ppl"] - 6.0) < 1e-6 for i in (1, 2, 3))
+    assert got[1]["n_toks"] == 3 and got[3]["n_toks"] == 1
+
+    # python parity on the real fixture: ppl = exp(-mean ln(tf/total))
+    rows = unigram_perplexity(docs).collect()
+    texts = {r["doc_id"]: r["text"] for r in docs.select("doc_id", "text").collect()}
+    tf: dict[str, int] = {}
+    toks_by_doc = {}
+    for d, t in texts.items():
+        toks = [x for x in re.split(r"[^a-z0-9]+", t.lower()) if x]
+        toks_by_doc[d] = toks
+        for x in toks:
+            tf[x] = tf.get(x, 0) + 1
+    total = sum(tf.values())
+    for r in rows[:50]:
+        toks = toks_by_doc[r["doc_id"]]
+        expect = math.exp(-sum(math.log(tf[x] / total) for x in toks) / len(toks))
+        assert abs(r["ppl"] - expect) < 1e-4, (r["doc_id"], r["ppl"], expect)
+        assert r["n_toks"] == len(toks)
+    # self-perplexity ranking: boilerplate-of-common-tokens scores LOW —
+    # the doc made of the corpus's most common token has minimal ppl
+    hot = max(tf, key=lambda k: tf[k])
+    probe = spark.createDataFrame(
+        [(900001, " ".join([hot] * 10))], "doc_id long, text string"
+    )
+    from search_engine_spark.ops.textstats import unigram_logprobs
+
+    model = unigram_logprobs(docs)
+    p = unigram_perplexity(probe, model=model).collect()[0]
+    assert all(p["ppl"] <= r["ppl"] for r in rows)
+
+
 def test_fingerprints_python_parity(docs):
     rows = fingerprints(docs, k=8).collect()
     texts = {r["doc_id"]: r["text"] for r in docs.select("doc_id", "text").collect()}
