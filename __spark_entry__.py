@@ -1289,13 +1289,14 @@ def oracle_sql() -> dict[str, str]:
                           || chr(10) || 'copyright 2026 example corp' AS text
               FROM documents),
             lines AS (SELECT doc_id, i AS idx, arr[i] AS line
-                      FROM (SELECT doc_id, string_split(text, chr(10)) AS arr,
-                                   unnest(generate_series(1, len(string_split(text, chr(10))))) AS i
+                      FROM (SELECT doc_id, regexp_split_to_array(text, '\r?\n') AS arr,
+                                   unnest(generate_series(1, len(regexp_split_to_array(text, '\r?\n')))) AS i
                             FROM dl)),
-            hot AS (SELECT trim(line) AS l FROM lines WHERE trim(line) <> ''
+            hot AS (SELECT trim(line, ' ' || chr(9) || chr(13)) AS l FROM lines
+                    WHERE trim(line, ' ' || chr(9) || chr(13)) <> ''
                     GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2),
             kept AS (SELECT doc_id, idx, line FROM lines
-                     WHERE trim(line) NOT IN (SELECT l FROM hot))
+                     WHERE trim(line, ' ' || chr(9) || chr(13)) NOT IN (SELECT l FROM hot))
             SELECT doc_id, string_agg(line, chr(10) ORDER BY idx) AS text
             FROM kept GROUP BY doc_id
         """,
@@ -1308,13 +1309,17 @@ def oracle_sql() -> dict[str, str]:
             WITH {_DUPS_CTE},
             {_SPAN_CTES},
             occ AS (SELECT doc_id, pos, span_hash FROM spans JOIN hot USING (span_hash)),
-            extra AS (SELECT doc_id, pos FROM (
-                        SELECT doc_id, pos, ROW_NUMBER() OVER (
-                          PARTITION BY span_hash ORDER BY doc_id, pos) AS rn
-                        FROM occ) WHERE rn > 1),
-            kill AS (SELECT DISTINCT doc_id, tpos FROM (
+            tagged AS (SELECT doc_id, pos, ROW_NUMBER() OVER (
+                         PARTITION BY span_hash ORDER BY doc_id, pos) AS rn
+                       FROM occ),
+            protect AS (SELECT DISTINCT doc_id, tpos FROM (
+                          SELECT doc_id, unnest(generate_series(pos, pos + 9)) AS tpos
+                          FROM tagged WHERE rn = 1)),
+            kill AS (SELECT DISTINCT e.doc_id, e.tpos FROM (
                        SELECT doc_id, unnest(generate_series(pos, pos + 9)) AS tpos
-                       FROM extra)),
+                       FROM tagged WHERE rn > 1) e
+                     WHERE NOT EXISTS (SELECT 1 FROM protect p
+                                       WHERE p.doc_id = e.doc_id AND p.tpos = e.tpos)),
             toks AS (SELECT doc_id, i::INT AS tpos, arr[i] AS tok
                      FROM (SELECT doc_id,
                                   list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),

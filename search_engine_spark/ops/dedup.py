@@ -50,6 +50,20 @@ def _norm_expr(vec):
     return F.sqrt(F.aggregate(vec, F.lit(0.0), lambda acc, x: acc + x * x))
 
 
+def _reassemble(order_col: str, val_col: str, sep: str):
+    """Order-preserving reassembly aggregate: collect (order, value)
+    structs, sort by the order key, join the values with ``sep``.
+    Shared by every op that rebuilds a document from surviving
+    fragments (line_dedup, remove_duplicate_spans)."""
+    return F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(order_col, val_col))),
+            lambda s: s[val_col],
+        ),
+        sep,
+    )
+
+
 def _pair_cosine(va, vb, na, nb):
     """6-dp-rounded cosine for a candidate pair whose per-row norms were
     precomputed BEFORE the pair join (``_norm_expr``): each vector's norm
@@ -85,6 +99,12 @@ def line_dedup(
     boilerplate drops out of the result — the desired pipeline
     semantics (an all-boilerplate doc carries no training signal).
 
+    Lines split on ``\\r?\\n`` and keyed by a whitespace-trimmed form
+    (spaces, tabs, stray ``\\r``), so CRLF and LF copies of the same
+    banner — or tab- vs space-indented ones — fold onto one key;
+    reassembly joins with ``\\n``, normalizing line endings in the
+    output.
+
     Scale shape: one posexplode (narrow), one partial-aggregated
     count-distinct shuffle keyed on the trimmed line, one anti-join of
     the line stream against the hot-line set (boilerplate lines are a
@@ -93,27 +113,20 @@ def line_dedup(
     Nothing corpus-quadratic anywhere. Reference analog: none — the
     reference never mutates page text; this is a training-data
     extension (Penedo et al. 2023, RefinedWeb §3.3)."""
+    key = lambda c: F.expr(f"trim(BOTH ' \\t\\r' FROM {c})")  # noqa: E731
     lines = df.select(
         F.col(id_col).alias("doc_id"),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("idx", "line"),
+        F.posexplode(F.split(F.col(text_col), r"\r?\n")).alias("idx", "line"),
     )
     hot = (
-        lines.where(F.trim(F.col("line")) != "")
-        .groupBy(F.trim(F.col("line")).alias("l"))
+        lines.where(key("line") != "")
+        .groupBy(key("line").alias("l"))
         .agg(F.count_distinct("doc_id").alias("line_df"))
         .where(F.col("line_df") >= min_df)
         .select("l")
     )
-    kept = lines.join(hot, F.trim(lines["line"]) == hot["l"], "left_anti")
-    return kept.groupBy("doc_id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("idx", "line"))),
-                lambda s: s["line"],
-            ),
-            "\n",
-        ).alias("text")
-    )
+    kept = lines.join(hot, key("line") == hot["l"], "left_anti")
+    return kept.groupBy("doc_id").agg(_reassemble("idx", "line", "\n").alias("text"))
 
 
 def word_array(text_col):
@@ -268,42 +281,46 @@ def remove_duplicate_spans(
     Operates on the NORMALIZED token stream (lowercase alnum,
     single-space joined) — output text is token-level, not original
     bytes, the form a training pipeline tokenizes anyway. Overlapping
-    duplicated windows union their covered offsets, and a document
-    whose every token is covered drops out of the result.
+    duplicated windows union their covered offsets; tokens inside ANY
+    canonical occurrence are PROTECTED from removal, so every
+    duplicated window is guaranteed to survive intact at its canonical
+    occurrence even when a different window's non-canonical occurrence
+    overlaps it (without the protection, two overlapping duplicated
+    windows with different canonical docs could mutilate each other's
+    kept copy and a span could survive nowhere). A document whose every
+    token is covered by unprotected kills drops out of the result.
 
     Scale shape: canonical selection is a partial-aggregated
     min(struct) groupBy on the fingerprint (skew-safe — no windowed
-    sort over a hot fingerprint's million occurrences), the kill set
-    explodes only NON-canonical occurrences (× span), and the token
-    stream anti-joins it on (doc_id, tpos) before one reassembly
-    shuffle."""
+    sort over a hot fingerprint's million occurrences); kill and
+    protect sets explode occurrences (× span) and anti-join each other,
+    then the token stream anti-joins the net kill set on (doc_id, tpos)
+    before one reassembly shuffle. All sets are occurrence-sized, never
+    corpus-sized."""
     occ = duplicate_spans(df, span, min_df, text_col, id_col).select(
         "doc_id", "pos", "span_hash"
     )
     canon = occ.groupBy("span_hash").agg(F.min(F.struct("doc_id", "pos")).alias("c"))
-    extra = occ.join(canon, "span_hash").where(
-        (F.col("doc_id") != F.col("c.doc_id")) | (F.col("pos") != F.col("c.pos"))
+    tagged = occ.join(canon, "span_hash").withColumn(
+        "is_canon",
+        (F.col("doc_id") == F.col("c.doc_id")) & (F.col("pos") == F.col("c.pos")),
     )
-    kill = extra.select(
+    offsets = lambda frame: frame.select(  # noqa: E731
         "doc_id",
         F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(span - 1))).alias(
             "tpos"
         ),
     ).distinct()
+    protect = offsets(tagged.where(F.col("is_canon")))
+    kill = offsets(tagged.where(~F.col("is_canon"))).join(
+        protect, ["doc_id", "tpos"], "left_anti"
+    )
     toks = df.select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(word_array(F.col(text_col))).alias("tpos0", "tok"),
     ).select("doc_id", (F.col("tpos0") + 1).cast("int").alias("tpos"), "tok")
     kept = toks.join(kill, ["doc_id", "tpos"], "left_anti")
-    return kept.groupBy("doc_id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("tpos", "tok"))),
-                lambda s: s["tok"],
-            ),
-            " ",
-        ).alias("text")
-    )
+    return kept.groupBy("doc_id").agg(_reassemble("tpos", "tok", " ").alias("text"))
 
 
 def _perm_table(spark, n_perms: int = MINHASH_PERMS):

@@ -242,6 +242,7 @@ def unigram_logprobs(df: DataFrame, text_col: str = "text") -> DataFrame:
 def unigram_perplexity(
     df: DataFrame,
     model: DataFrame | None = None,
+    oov_logp: float | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
@@ -255,21 +256,40 @@ def unigram_perplexity(
     on ``df`` itself (self-perplexity ranking: boilerplate-heavy docs
     of common tokens score LOW ppl, rare-token noise scores HIGH).
 
-    Scale shape: the token stream joins the (term, logp) model —
+    OOV handling: tokens absent from an EXTERNAL model must raise
+    perplexity, not vanish (a junk doc of unseen tokens is exactly what
+    the filter rejects) — they are LEFT-joined and scored at
+    ``oov_logp``, defaulting to one decade below the model's rarest
+    term (min logp − ln 10), carried as a broadcast 1-row frame with no
+    driver action. With the default self-trained model every token is
+    in-vocabulary, so the OOV branch never fires and the DuckDB oracle
+    (inner-join formulation) stays exact.
+
+    Scale shape: the token stream left-joins the (term, logp) model —
     vocabulary ≪ corpus, so AQE broadcasts it — then one partial-agg
     groupBy(doc_id). A doc with zero surviving tokens has undefined
     perplexity and drops out (same empty-doc contract as the dedup
     reassembly ops). ppl rounded 6dp for engine-portable thresholds."""
+    import math
+
     if model is None:
         model = unigram_logprobs(df, text_col)
+    floor = model.agg(
+        (
+            F.min(F.lit(float(oov_logp)))
+            if oov_logp is not None
+            else F.min("logp") - F.lit(math.log(10.0))
+        ).alias("_oov_logp")
+    )
     toks = df.select(
         F.col(id_col).alias("doc_id"), F.explode(_tok_arr(F.col(text_col))).alias("term")
     )
     return (
-        toks.join(model, "term")
+        toks.join(model, "term", "left")
+        .crossJoin(F.broadcast(floor))
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("long").alias("n_toks"),
-            F.round(F.exp(-F.avg("logp")), 6).alias("ppl"),
+            F.round(F.exp(-F.avg(F.coalesce("logp", "_oov_logp"))), 6).alias("ppl"),
         )
     )

@@ -121,6 +121,14 @@ def test_line_dedup_boilerplate_removal(spark):
     )
     got2 = {r["doc_id"]: r["text"] for r in line_dedup(df2, min_df=2).collect()}
     assert got2 == {1: "keep a", 2: "keep b"}
+    # CRLF vs LF and tab-indented copies of a banner fold onto one key;
+    # output line endings are normalized to \n
+    df3 = spark.createDataFrame(
+        [(1, "subscribe now\r\nkeep a\r\nmore a"), (2, "\tsubscribe now\nkeep b")],
+        "doc_id long, text string",
+    )
+    got3 = {r["doc_id"]: r["text"] for r in line_dedup(df3, min_df=2).collect()}
+    assert got3 == {1: "keep a\nmore a", 2: "keep b"}
 
 
 def test_duplicate_spans_positions_and_df(spark):
@@ -169,6 +177,24 @@ def test_remove_duplicate_spans_keeps_first_occurrence(spark):
     assert got[2] == "delta epsilon"
     assert got[3] == "zeta"
     assert got[4] == "totally unrelated words here now"
+
+    # canonical-occurrence protection: window W='one two three four'
+    # (canonical doc 1) overlaps window V='two three four five' whose
+    # canonical occurrence lives in doc 2 — W's extra occurrence in
+    # doc 2 must NOT mutilate V's protected canonical copy
+    rows2 = [
+        (1, "a b c one two three four"),
+        (2, "one two three four five x y"),
+        (3, "z two three four five"),
+    ]
+    df2 = spark.createDataFrame(rows2, "doc_id long, text string")
+    got2 = {
+        r["doc_id"]: r["text"]
+        for r in remove_duplicate_spans(df2, span=4, min_df=2).collect()
+    }
+    assert got2[1] == "a b c one two three four"
+    assert got2[2] == "two three four five x y"  # V survives intact
+    assert got2[3] == "z"
 
 
 def test_jaccard_pairs_find_planted(docs_with_dups, docs):
@@ -453,6 +479,19 @@ def test_unigram_perplexity_python_parity(spark, docs):
     model = unigram_logprobs(docs)
     p = unigram_perplexity(probe, model=model).collect()[0]
     assert all(p["ppl"] <= r["ppl"] for r in rows)
+
+    # OOV under an external model: junk tokens are scored at the floor
+    # (min logp - ln 10), counted in n_toks, and RAISE perplexity — a
+    # 100%-OOV doc must not vanish or score well
+    junk = spark.createDataFrame(
+        [(900002, "qzxv wvvq zzqp xxoq qqzz")], "doc_id long, text string"
+    )
+    j = unigram_perplexity(junk, model=model).collect()[0]
+    assert j["n_toks"] == 5
+    rare = min(tf.values())
+    floor_ppl = 10.0 * total / rare  # exp(-(ln(rare/total) - ln 10))
+    assert abs(j["ppl"] - floor_ppl) < 1e-2 * floor_ppl
+    assert all(j["ppl"] >= r["ppl"] for r in rows)
 
 
 def test_fingerprints_python_parity(docs):
