@@ -104,6 +104,46 @@ from search_engine_spark.ops.dedup import (  # noqa: E402
 _MINHASH_PERM_VALUES = ", ".join(f"({i}, {a}, {b})" for i, a, b in _mh_coeffs())
 
 
+# planted multi-line fixture: must match _docs_with_lines verbatim.
+_DL_CTE = """dl AS (
+              SELECT doc_id,
+                     text || chr(10)
+                          || CASE WHEN doc_id % 2 = 0
+                                  THEN 'subscribe to our newsletter'
+                                  ELSE 'unique tail ' || doc_id END
+                          || chr(10) || 'copyright 2026 example corp' AS text
+              FROM documents)"""
+
+# line-dedup chain over a source CTE named {src} → cleaned docs in `ld`;
+# must match ops.dedup.line_dedup (split \r?\n, space/tab/CR-trimmed
+# keys, ordered \n reassembly). Shared by line_dedup and curation_v2.
+_LINE_CTES_T = """lines AS (SELECT doc_id, i AS idx, arr[i] AS line
+                      FROM (SELECT doc_id, regexp_split_to_array(text, '\\r?\\n') AS arr,
+                                   unnest(generate_series(1, len(regexp_split_to_array(text, '\\r?\\n')))) AS i
+                            FROM {src})),
+            hot AS (SELECT trim(line, ' ' || chr(9) || chr(13)) AS l FROM lines
+                    WHERE trim(line, ' ' || chr(9) || chr(13)) <> ''
+                    GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= {min_df}),
+            kept AS (SELECT doc_id, idx, line FROM lines
+                     WHERE trim(line, ' ' || chr(9) || chr(13)) NOT IN (SELECT l FROM hot)),
+            ld AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY idx) AS text
+                   FROM kept GROUP BY doc_id)"""
+
+# unigram-LM perplexity chain over a source CTE named {src} → per-doc
+# scores in `scored`; must match ops.textstats.unigram_perplexity with
+# the default self-trained model (inner join: no OOV possible). Shared
+# by unigram_ppl and curation_v2.
+_PPL_CTES_T = """ptoks AS (SELECT doc_id,
+                                  unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                                     x -> x <> '')) AS term
+                           FROM {src}),
+            ptf AS (SELECT term, COUNT(*)::BIGINT AS tf FROM ptoks GROUP BY term),
+            plm AS (SELECT term, ln(tf / (SELECT SUM(tf) FROM ptf)) AS logp FROM ptf),
+            scored AS (SELECT doc_id, COUNT(*)::BIGINT AS n_toks,
+                              ROUND(exp(-AVG(logp)), 6) AS ppl
+                       FROM ptoks JOIN plm USING (term) GROUP BY doc_id)"""
+
+
 # shared 10-token window-fingerprint CTEs over the dd fixture — single
 # definition for the duplicate_spans / remove_duplicate_spans oracles;
 # must match ops.dedup.duplicate_spans (word_array + shingle_array +
@@ -609,6 +649,26 @@ def q_semdedup(spark, sf_dir):
     return semdedup(_read(spark, sf_dir, "embeddings"), threshold=0.3).select("vec_id")
 
 
+def q_curation_v2(spark, sf_dir):
+    # the modern curation chain end-to-end: boilerplate line removal
+    # (min_df=3: mass banners, not duplicate pairs) → exact dedup of the
+    # cleaned text (byte-identical +500000 copies fold onto originals)
+    # → CCNet perplexity ceiling → per-lang deterministic mixture draw
+    from search_engine_spark.ops.curation import curate_v2
+
+    d = _docs_with_lines(spark, sf_dir)
+    raw = d.union(d.select((F.col("doc_id") + 500000).alias("doc_id"), "text"))
+    lang = _read(spark, sf_dir, "documents").select("doc_id", "lang")
+    langs = lang.union(lang.select((F.col("doc_id") + 500000).alias("doc_id"), "lang"))
+    return curate_v2(
+        raw.join(langs, "doc_id"),
+        STRAT_FRACTIONS,
+        max_ppl=CURATE2_MAX_PPL,
+        default_fraction=STRAT_DEFAULT,
+        line_min_df=3,
+    )
+
+
 def _query_vecs(emb):
     return (
         emb.orderBy("vec_id")
@@ -647,6 +707,10 @@ def q_ann_ivf_topk(spark, sf_dir):
 # fractions; absent langs fall to the default) — shared with the oracle
 STRAT_FRACTIONS = {"en": 0.3, "de": 1.0, "zh": 0.1}
 STRAT_DEFAULT = 0.05
+# curation_v2 perplexity ceiling: sits in a measured 34.99->35.04 gap of
+# the composed fixture's 6dp-rounded ppl values at sf0.01, so no doc can
+# straddle the threshold across engines (keeps 319/500 canonicals).
+CURATE2_MAX_PPL = 35.0
 
 
 def q_stratified_sample(spark, sf_dir):
@@ -1151,6 +1215,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "duplicate_spans": q_duplicate_spans,
         "remove_duplicate_spans": q_remove_duplicate_spans,
+        "curation_v2": q_curation_v2,
         "jaccard_dedup": q_jaccard_dedup,
         "dedup_clusters": q_dedup_clusters,
         "minhash_lsh": q_minhash_lsh,
@@ -1283,26 +1348,30 @@ def oracle_sql() -> dict[str, str]:
                   FROM dd GROUP BY text)
             SELECT dd.doc_id, c.canonical_id, c.group_size FROM dd JOIN c USING (text)
         """,
-        "line_dedup": """
-            WITH dl AS (
-              SELECT doc_id,
-                     text || chr(10)
-                          || CASE WHEN doc_id % 2 = 0
-                                  THEN 'subscribe to our newsletter'
-                                  ELSE 'unique tail ' || doc_id END
-                          || chr(10) || 'copyright 2026 example corp' AS text
-              FROM documents),
-            lines AS (SELECT doc_id, i AS idx, arr[i] AS line
-                      FROM (SELECT doc_id, regexp_split_to_array(text, '\r?\n') AS arr,
-                                   unnest(generate_series(1, len(regexp_split_to_array(text, '\r?\n')))) AS i
-                            FROM dl)),
-            hot AS (SELECT trim(line, ' ' || chr(9) || chr(13)) AS l FROM lines
-                    WHERE trim(line, ' ' || chr(9) || chr(13)) <> ''
-                    GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2),
-            kept AS (SELECT doc_id, idx, line FROM lines
-                     WHERE trim(line, ' ' || chr(9) || chr(13)) NOT IN (SELECT l FROM hot))
-            SELECT doc_id, string_agg(line, chr(10) ORDER BY idx) AS text
-            FROM kept GROUP BY doc_id
+        "line_dedup": f"""
+            WITH {_DL_CTE},
+            {_LINE_CTES_T.format(src="dl", min_df=2)}
+            SELECT doc_id, text FROM ld
+        """,
+        "curation_v2": f"""
+            WITH {_DL_CTE},
+            raw AS (SELECT doc_id, text FROM dl
+                    UNION ALL SELECT doc_id + 500000 AS doc_id, text FROM dl),
+            {_LINE_CTES_T.format(src="raw", min_df=3)},
+            c AS (SELECT text, MIN(doc_id) AS canon FROM ld GROUP BY text),
+            dd2 AS (SELECT ld.doc_id, ld.text FROM ld
+                    JOIN c ON ld.text = c.text AND ld.doc_id = c.canon),
+            {_PPL_CTES_T.format(src="dd2")},
+            langs AS (SELECT doc_id, lang FROM documents
+                      UNION ALL SELECT doc_id + 500000 AS doc_id, lang FROM documents)
+            SELECT s.doc_id, l.lang, s.n_toks, s.ppl
+            FROM scored s JOIN langs l USING (doc_id)
+            WHERE s.ppl <= {CURATE2_MAX_PPL}
+              AND CAST(('0x' || substr(md5('s0|' || CAST(s.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                  < CASE l.lang
+                      {' '.join(f"WHEN '{g}' THEN {int(f * (1 << 32))}" for g, f in sorted(STRAT_FRACTIONS.items()))}
+                      ELSE {int(STRAT_DEFAULT * (1 << 32))}
+                    END
         """,
         "duplicate_spans": f"""
             WITH {_DUPS_CTE},
@@ -1582,16 +1651,9 @@ def oracle_sql() -> dict[str, str]:
                                            i -> md5(substr(lower(text), i, 8)))) AS fingerprint
             FROM documents
         """,
-        "unigram_ppl": """
-            WITH toks AS (SELECT doc_id,
-                                 unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
-                                                    x -> x <> '')) AS term
-                          FROM documents),
-            tf AS (SELECT term, COUNT(*)::BIGINT AS tf FROM toks GROUP BY term),
-            lm AS (SELECT term, ln(tf / (SELECT SUM(tf) FROM tf)) AS logp FROM tf)
-            SELECT doc_id, COUNT(*)::BIGINT AS n_toks,
-                   ROUND(exp(-AVG(logp)), 6) AS ppl
-            FROM toks JOIN lm USING (term) GROUP BY doc_id
+        "unigram_ppl": f"""
+            WITH {_PPL_CTES_T.format(src="documents")}
+            SELECT doc_id, n_toks, ppl FROM scored
         """,
         "multimodal_features": """
             SELECT doc_id AS media_id,

@@ -116,3 +116,61 @@ def redact_pii(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
     return df.select(
         F.col(id_col).alias("doc_id"), *counts, red.alias("text_redacted")
     )
+
+
+def curate_v2(
+    df: DataFrame,
+    fractions: dict[str, float],
+    max_ppl: float,
+    group_col: str = "lang",
+    default_fraction: float = 0.05,
+    line_min_df: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The modern LLM-data curation chain, composing this repo's
+    web-scale cleaning ops end-to-end the way production pipelines
+    (RefinedWeb, CCNet, Dolma) sequence them:
+
+    1. boilerplate line removal (:func:`..ops.dedup.line_dedup`) at
+       ``line_min_df`` — set it ABOVE the expected duplicate
+       multiplicity (default 3): at the pair threshold 2, a
+       byte-identical duplicate pair makes every one of its own lines
+       "boilerplate" and both copies are erased before the dedup stage
+       can pick a canonical — line removal is for MASS-repeated
+       banners, exact dedup for document duplicates;
+    2. exact dedup of the CLEANED text — one canonical doc per
+       byte-identical group (min id);
+    3. CCNet-style perplexity ceiling
+       (:func:`..ops.textstats.unigram_perplexity`, self-trained on
+       the deduped corpus) — keep the low-perplexity head
+       (``ppl <= max_ppl`` on the 6dp-rounded score);
+    4. per-group deterministic mixture draw
+       (:func:`..ops.sampling.stratified_sample`).
+
+    Input carries (id, text, group); output (doc_id, group, n_toks,
+    ppl). Shuffle budget: line-dedup's three exchanges, the sha2 dedup
+    shuffle, the LM term shuffles and per-doc aggregate, plus doc_id
+    equi-joins between stages — every stage is the already-plan-gated
+    operator, and the final mixture gate is row-local (no shuffle)."""
+    from .dedup import exact_dedup, line_dedup
+    from .textstats import unigram_perplexity
+
+    cleaned = line_dedup(df, min_df=line_min_df, text_col=text_col, id_col=id_col)
+    canon = (
+        exact_dedup(cleaned, text_col="text", id_col="doc_id")
+        .where(F.col("doc_id") == F.col("canonical_id"))
+        .select("doc_id")
+    )
+    deduped = cleaned.join(canon, "doc_id")
+    scored = unigram_perplexity(deduped, text_col="text", id_col="doc_id")
+    meta = df.select(F.col(id_col).alias("doc_id"), group_col)
+    out = (
+        scored.where(F.col("ppl") <= max_ppl)
+        .join(meta, "doc_id")
+        .select("doc_id", group_col, "n_toks", "ppl")
+    )
+    return stratified_sample(
+        out, fractions, group_col=group_col, id_col="doc_id",
+        default_fraction=default_fraction,
+    )

@@ -494,6 +494,39 @@ def test_unigram_perplexity_python_parity(spark, docs):
     assert all(j["ppl"] >= r["ppl"] for r in rows)
 
 
+def test_curate_v2_stage_effects(spark, docs):
+    """The composed chain: mass boilerplate (df >= 3) removed, duplicate
+    PAIRS survive line removal and fold in exact dedup (canonical = min
+    id, so no +500000 copy ever survives), ppl ceiling enforced, and
+    the mixture gate matches stratified_sample's row-local predicate."""
+    from search_engine_spark.ops.curation import curate_v2
+
+    base = docs.select("doc_id", "text", "lang")
+    banner = F.concat_ws("\n", F.col("text"), F.lit("copyright corp"))
+    d = base.select("doc_id", banner.alias("text"), "lang")
+    raw = d.union(
+        d.select((F.col("doc_id") + 500000).alias("doc_id"), "text", "lang")
+    )
+    out = curate_v2(
+        raw, {"en": 1.0, "de": 1.0, "zh": 1.0, "fr": 1.0, "es": 1.0},
+        max_ppl=1e9, line_min_df=3,
+    ).collect()
+    ids = {r["doc_id"] for r in out}
+    # every survivor is a canonical original; copies always fold away
+    assert ids and all(i < 500000 for i in ids)
+    # with an infinite ceiling and all-1.0 fractions, ALL canonicals
+    # survive: the banner (df = 2x corpus >= 3) was removed but each
+    # doc's own text line (df = 2 < 3) was kept
+    assert len(ids) == base.count()
+    # a real ceiling drops the high-ppl tail monotonically
+    capped = curate_v2(
+        raw, {"en": 1.0, "de": 1.0, "zh": 1.0, "fr": 1.0, "es": 1.0},
+        max_ppl=35.0, line_min_df=3,
+    ).collect()
+    assert {r["doc_id"] for r in capped} < ids
+    assert all(r["ppl"] <= 35.0 for r in capped)
+
+
 def test_fingerprints_python_parity(docs):
     rows = fingerprints(docs, k=8).collect()
     texts = {r["doc_id"]: r["text"] for r in docs.select("doc_id", "text").collect()}
