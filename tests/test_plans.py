@@ -192,6 +192,25 @@ def test_duplicate_spans_two_exchanges_no_python(docs):
     assert plan.count("Exchange hashpartitioning") <= 3, plan
 
 
+def test_curate_v2_composed_plan_no_cartesian_no_python(docs):
+    """The composed curation chain must inherit its stages' plan
+    contracts: no cartesian product anywhere, zero Python evaluation
+    (every stage is native-function), and the final mixture gate stays
+    a row-local filter (md5/conv are JVM builtins)."""
+    from search_engine_spark.ops.curation import curate_v2
+
+    plan = _plan(
+        curate_v2(
+            docs.select("doc_id", "text", "lang"),
+            {"en": 0.5},
+            max_ppl=100.0,
+            default_fraction=0.1,
+        )
+    )
+    assert "CartesianProduct" not in plan, plan
+    assert "ArrowEvalPython" not in plan and "PythonUDF" not in plan, plan
+
+
 def test_subtoken_channel_single_scan_no_shuffle(docs):
     """The subtoken channel must read the corpus ONCE (a union of two
     branches would scan the parquet twice — 2x I/O at 100 TB) and stay
