@@ -548,7 +548,15 @@ def embedding_dup_pairs_lsh(
         F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v")
     ).withColumn("norm", _norm_expr(F.col("v")))
     if dim is None:
-        dim = len(v.select("v").first()[0])
+        # dim is required: inferring it would mean a driver ACTION on the
+        # corpus (first()) before the plan even builds — a full scan stage
+        # at 100 TB just to learn a width the caller's schema registry
+        # already knows (and a TypeError on an empty frame).
+        raise ValueError(
+            "embedding_dup_pairs_lsh requires dim= (the embedding width); "
+            "pass it from your table metadata instead of letting the "
+            "library scan the corpus to infer it"
+        )
     planes = _hyperplanes(dim, n_tables, bits)
     b = _bucket_codes(v, F.col("v"), planes, "vid", extra=("norm",))
     pa, pb = b.alias("a"), b.alias("b")
@@ -624,14 +632,27 @@ def dup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b") -> Da
             out = out.union(m.select("u", F.col("m").alias("v")))
         return out.where(F.col("u") != F.col("v")).distinct()
 
+    def _sig(edges: DataFrame) -> tuple:
+        # order-independent edge-set signature in ONE aggregate job:
+        # (row count, bit_xor of per-edge xxhash64). Both sides of the
+        # fixpoint test are distinct sets, so signature equality ⇒ set
+        # equality up to a ~2⁻⁶⁴ xor-collision — vs the previous two
+        # subtract().count() probes, which re-scanned both edge sets
+        # twice per round (4 jobs/round; at 100 TB each probe is a full
+        # shuffle over the star graph).
+        row = edges.agg(
+            F.count("*").alias("n"), F.bit_xor(F.xxhash64("u", "v")).alias("x")
+        ).collect()[0]
+        return (row["n"], row["x"])
+
+    sig = _sig(e)
     for _ in range(50):  # ≥ log²(2^63) rounds; never binding in practice
         nxt = star(star(e, large=True), large=False).localCheckpoint(eager=True)
-        # star-graph fixpoint: edge SET stable (distinct both sides, so
-        # two empty subtracts == set equality; count alone could alias)
-        if nxt.subtract(e).count() == 0 and e.subtract(nxt).count() == 0:
-            e = nxt
-            break
+        nxt_sig = _sig(nxt)  # the ONLY action per convergence check
         e = nxt
+        if nxt_sig == sig:
+            break
+        sig = nxt_sig
 
     comp = e.groupBy("u").agg(F.min("v").alias("cluster_id"))
     comp = comp.union(

@@ -135,7 +135,12 @@ def lsh_cosine_topk(
     Pass ``dim`` explicitly at scale; when None it is inferred with one
     driver action on the (small, broadcast) QUERY side, never the corpus."""
     if dim is None:
-        dim = len(queries.select(q_vec_col).first()[0])
+        head = queries.select(q_vec_col).first()
+        if head is None:  # empty query set → empty result, not a TypeError
+            return emb.sparkSession.createDataFrame(
+                [], "query_id long, vec_id long, cosine double, rank long"
+            )
+        dim = len(head[0])
     planes = _hyperplanes(dim, n_tables, bits)
     base = emb.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v")

@@ -151,8 +151,13 @@ def _scan_conf(spark, value: str):
     try:
         yield
     finally:
+        # no explicit prior value → UNSET (fall back to the session
+        # default) rather than leaving the override to leak into every
+        # later scan of the session
         if old is not None:
             spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+        else:
+            spark.conf.unset("spark.sql.files.maxPartitionBytes")
 
 
 def _tune_scan_granularity(spark, corpus: DataFrame) -> str | None:
@@ -232,8 +237,13 @@ class IndexSink:
                 corpus, buckets_per_wave, fail_after_waves, n_shards, url_cols
             )
         finally:
-            if tuned is not None and old_mpb is not None:
-                spark.conf.set("spark.sql.files.maxPartitionBytes", old_mpb)
+            if tuned is not None:
+                if old_mpb is not None:
+                    spark.conf.set("spark.sql.files.maxPartitionBytes", old_mpb)
+                else:
+                    # no prior explicit value: unset instead of leaking the
+                    # tuned split size into the caller's session
+                    spark.conf.unset("spark.sql.files.maxPartitionBytes")
 
     def _build_inner(
         self,
@@ -327,6 +337,24 @@ class IndexSink:
             .parquet(docs_path)
         )
         docs_tbl = spark.read.parquet(docs_path)
+        # doc_id injectivity gate (rationale: corpus.check_doc_id_injective
+        # — 64-bit xxhash birthday collisions are EXPECTED at the stated
+        # 10^12-file target, ~27k pairs). Checked here over the
+        # just-written content-free docs side table, so the gate costs one
+        # column-pruned aggregate over index-metadata-sized parquet, not a
+        # corpus scan. n_docs_est is the guard count already taken above;
+        # a shortfall in distinct doc_ids means either a hash collision or
+        # duplicate (repo, path, commit) input rows — both must fail the
+        # build loudly rather than silently merge two docs' postings.
+        n_ids = int(docs_tbl.agg(F.count_distinct("doc_id")).collect()[0][0])
+        if n_ids != n_docs_est:
+            from .corpus import IdCollisionError
+
+            raise IdCollisionError(
+                f"doc_id not injective: {n_docs_est} corpus rows → {n_ids} "
+                "distinct doc_ids; widen the id per corpus.with_doc_id or "
+                "dedup the input before indexing"
+            )
         dstats = docs_tbl.select("doc_id", "doclen")
         N, avgdl = corpus_stats(dstats)
         phase_t["doc_stats"] = time.perf_counter() - t0

@@ -1,4 +1,5 @@
 from .jobs import (
+    committed_commits,
     compact_store,
     incremental_index_stream,
     live_doc_ids,
@@ -11,6 +12,7 @@ from .jobs import (
 )
 
 __all__ = [
+    "committed_commits",
     "compact_store",
     "incremental_index_stream",
     "live_doc_ids",

@@ -7,21 +7,35 @@ urlQueue.flatMap(λ)`, /root/reference/src/cis5550/jobs/Crawler.java:
 capabilities a continuously-ingesting 100 TB corpus needs:
 
 - :func:`incremental_index_stream` — new corpus files appear in a
-  directory; each micro-batch tokenizes its documents and appends their
-  postings + doc stats to the index store. ``foreachBatch`` + the stream
-  checkpoint give exactly-once per input file; because a document
-  arrives whole within one file, its postings are complete within one
-  batch and plain append is a correct merge. Duplicate doc_ids (same
-  repo/path/commit re-delivered, in-batch or across batches) are
-  DROPPED before writing — in-batch dropDuplicates + anti-join against
-  committed ids — so aggregates never double-count. CHANGED docs (same
+  directory; each micro-batch tokenizes its documents and lands their
+  postings + doc stats in the index store under a per-batch commit
+  partition. The write protocol is ATOMIC PER BATCH:
+
+  * every batch writes into its own ``commit_id=<token>`` partition
+    directory (``mode=overwrite`` on that directory), where ``token``
+    is derived from the batch's doc_id SET (count + xor of id hashes) —
+    content-addressed, so the same data gets the same token under ANY
+    batch numbering (incl. after a checkpoint reset);
+  * a marker file ``_commits/<token>.json`` is written (tmp + atomic
+    rename) only AFTER postings, dstats and docmap have all landed;
+  * read paths (:func:`read_live_postings` etc.) filter to committed
+    tokens, so a crash between the three writes leaves invisible
+    partials, and the replay — same data ⇒ same token — OVERWRITES
+    them before committing. A batch is always fully redone or fully
+    skipped; postings can never double-count.
+
+  Duplicate doc_ids (same repo/path/commit re-delivered, in-batch or
+  across batches) are dropped before writing — in-batch dropDuplicates,
+  whole-batch skip when the token is already committed, anti-join
+  against committed ids for mixed batches. CHANGED docs (same
   repo/path, new commit) are handled as a MERGE sink split LSM-style:
-  appends stay cheap, a tiny ``docmap`` ledger records every ingested
-  version, :func:`read_live_postings` masks superseded versions at read
-  time (merge-on-read), and :func:`compact_store` physically retires
-  them offline. ``Trigger.AvailableNow`` drains everything pending then
-  stops, which is both the test mode and the nightly-catch-up mode on a
-  cluster.
+  writes stay cheap and append-shaped, the tiny ``docmap`` ledger
+  records every ingested version with a monotonic commit ``seq``,
+  :func:`read_live_postings` masks superseded versions at read time
+  (merge-on-read), and :func:`compact_store` physically retires them
+  (and any uncommitted partials) offline. ``Trigger.AvailableNow``
+  drains everything pending then stops, which is both the test mode and
+  the nightly-catch-up mode on a cluster.
 - :func:`windowed_event_counts` — event-time tumbling windows with a
   watermark for late data.
 - :func:`running_user_totals` — custom stateful operator via
@@ -64,43 +78,113 @@ def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
     )
 
 
+def _commits_dir(store_dir: str) -> str:
+    return f"{store_dir}/_commits"
+
+
+def committed_commits(store_dir: str) -> dict[str, int]:
+    """token → monotonic commit seq, from the marker files. The marker
+    set is the store's source of truth for what is readable: data
+    partitions without a marker are crash leftovers, invisible to read
+    paths and garbage-collected by :func:`compact_store`."""
+    import json
+    import os
+
+    d = _commits_dir(store_dir)
+    out: dict[str, int] = {}
+    if not os.path.isdir(d):
+        return out
+    for f in os.listdir(d):
+        if f.endswith(".json"):
+            with open(os.path.join(d, f)) as fh:
+                rec = json.load(fh)
+            out[rec["token"]] = int(rec["seq"])
+    return out
+
+
+def _mark_committed(store_dir: str, token: str, seq: int, n_docs: int) -> None:
+    """Atomic commit point: tmp write + rename AFTER all data landed."""
+    import json
+    import os
+
+    d = _commits_dir(store_dir)
+    os.makedirs(d, exist_ok=True)
+    tmp = os.path.join(d, f"{token}.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump({"token": token, "seq": seq, "n_docs": n_docs}, fh)
+    os.replace(tmp, os.path.join(d, f"{token}.json"))
+
+
+def _read_committed(spark: SparkSession, store_dir: str, name: str) -> DataFrame | None:
+    """Table rows filtered to COMMITTED batch partitions. None when the
+    table has no data yet. The committed-token set is marker-file-sized
+    (one per micro-batch); an isin over it is a broadcast-able predicate
+    — at very long stream lifetimes (10^5+ batches) swap the isin for a
+    broadcast join against a commits table; the protocol is unchanged."""
+    import os
+
+    if not os.path.isdir(f"{store_dir}/{name}"):
+        return None
+    committed = sorted(committed_commits(store_dir))
+    df = spark.read.parquet(f"{store_dir}/{name}")
+    return df.where(F.col("commit_id").isin(committed))
+
+
 def incremental_index_stream(
     spark: SparkSession,
     corpus_dir: str,
     store_dir: str,
     checkpoint_dir: str,
 ):
-    """Start (and return) the incremental indexing query. Postings and
-    doc stats land under ``store_dir`` as append-only parquet; the stream
-    checkpoint makes file ingestion exactly-once across restarts — the
-    streaming upgrade of the reference's crawl_old skip-probe
-    (Indexer.java:213-229)."""
+    """Start (and return) the incremental indexing query — the streaming
+    upgrade of the reference's crawl_old skip-probe (Indexer.java:213-229)
+    with the per-batch atomic commit protocol described in the module
+    docstring."""
     stream = read_corpus_stream(spark, corpus_dir)
 
-    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+    def process_batch(batch_df: DataFrame, _batch_id: int) -> None:
         # re-ingest guard: a duplicate (repo, path, commit) — within the
         # batch or vs previously committed ids — would silently double its
-        # postings rows and corrupt tf/doclen aggregates; dedup in-batch
-        # and anti-join the ids already in the store. A CHANGED doc (same
-        # repo/path, new commit) gets a NEW doc_id and appends; the stale
-        # version is masked by read_live_* and retired by compact_store.
+        # postings rows and corrupt tf/doclen aggregates. In-batch:
+        # dropDuplicates. Across batches: the content-addressed token
+        # skips a wholly-seen batch BEFORE tokenizing; a mixed batch
+        # anti-joins the already-committed ids. A CHANGED doc (same
+        # repo/path, new commit) gets a NEW doc_id; the stale version is
+        # masked by read_live_* and retired by compact_store.
         ids = with_doc_id(batch_df).dropDuplicates(["doc_id"])
-        import os
-
-        if os.path.isdir(f"{store_dir}/dstats"):
-            seen = spark.read.parquet(f"{store_dir}/dstats").select("doc_id")
-            ids = ids.join(seen, "doc_id", "left_anti")
+        sig = ids.agg(
+            F.count("*").alias("n"), F.bit_xor(F.xxhash64("doc_id")).alias("x")
+        ).collect()[0]
+        n_docs = int(sig["n"])
+        # 'c' prefix keeps partition-value type inference firmly string
+        token = f"c{n_docs}-{(int(sig['x'] or 0)) & (2**64 - 1):016x}"
+        committed = committed_commits(store_dir)
+        if token in committed:
+            return  # same doc set already fully committed (replay) — no-op
+        seen_src = _read_committed(spark, store_dir, "docmap")
+        if seen_src is not None:
+            ids = ids.join(seen_src.select("doc_id"), "doc_id", "left_anti")
+        seq = max(committed.values(), default=-1) + 1
         toks = tokenize(ids)
-        postings = doc_postings(toks).withColumn("batch_id", F.lit(batch_id))
-        dstats = doc_stats(toks).withColumn("batch_id", F.lit(batch_id))
-        postings.write.mode("append").parquet(f"{store_dir}/postings")
-        dstats.write.mode("append").parquet(f"{store_dir}/dstats")
-        # docmap: the tiny (repo, path, commit, doc_id, batch_id) ledger
-        # that makes upsert-by-path resolvable at read time (live_doc_ids)
-        # and compactable offline (compact_store) — LSM merge-on-read.
+        # each table writes into ITS OWN commit partition with overwrite:
+        # a replay of a crashed attempt (same data ⇒ same token) rewrites
+        # the partial files instead of appending next to them
+        doc_postings(toks).write.mode("overwrite").parquet(
+            f"{store_dir}/postings/commit_id={token}"
+        )
+        doc_stats(toks).write.mode("overwrite").parquet(
+            f"{store_dir}/dstats/commit_id={token}"
+        )
+        # docmap: the tiny (repo, path, commit, doc_id, seq) ledger that
+        # makes upsert-by-path resolvable at read time (live_doc_ids) and
+        # compactable offline (compact_store) — LSM merge-on-read. seq is
+        # the monotonic ingest clock (max committed + 1 at commit time;
+        # the stream is the single writer).
         ids.select("repo", "path", "commit", "doc_id").withColumn(
-            "batch_id", F.lit(batch_id)
-        ).write.mode("append").parquet(f"{store_dir}/docmap")
+            "seq", F.lit(seq)
+        ).write.mode("overwrite").parquet(f"{store_dir}/docmap/commit_id={token}")
+        # the commit point: only now does the batch become readable
+        _mark_committed(store_dir, token, seq, n_docs)
 
     return (
         stream.writeStream.foreachBatch(process_batch)
@@ -112,20 +196,22 @@ def incremental_index_stream(
 
 def live_doc_ids(spark: SparkSession, store_dir: str) -> DataFrame:
     """Resolve upsert-by-path: for each (repo, path) the LATEST ingested
-    version wins — later batch beats earlier (batch_id is the stream's
+    version wins — later commit seq beats earlier (seq is the stream's
     monotonic ingest clock); within a batch the tie breaks on (commit,
     doc_id) descending for determinism. This is the read-time half of a
     MERGE sink (merge-on-read): the store stays append-only and cheap to
-    write, and this window — over the tiny docmap ledger, never the
-    postings — masks superseded versions. Reference analog: the
-    skip-by-probe in Indexer.java:213-229 avoided re-index of UNCHANGED
-    urls; this additionally retires CHANGED ones, which the reference
-    could not."""
+    write, and this window — over the tiny COMMITTED docmap ledger,
+    never the postings — masks superseded versions and never sees
+    uncommitted partials. Reference analog: the skip-by-probe in
+    Indexer.java:213-229 avoided re-index of UNCHANGED urls; this
+    additionally retires CHANGED ones, which the reference could not."""
     from pyspark.sql.window import Window
 
-    dm = spark.read.parquet(f"{store_dir}/docmap")
+    dm = _read_committed(spark, store_dir, "docmap")
+    if dm is None:  # nothing ingested yet
+        return spark.createDataFrame([], "doc_id long")
     w = Window.partitionBy("repo", "path").orderBy(
-        F.desc("batch_id"), F.desc("commit"), F.desc("doc_id")
+        F.desc("seq"), F.desc("commit"), F.desc("doc_id")
     )
     return (
         dm.withColumn("_rn", F.row_number().over(w))
@@ -135,48 +221,87 @@ def live_doc_ids(spark: SparkSession, store_dir: str) -> DataFrame:
 
 
 def read_live_postings(spark: SparkSession, store_dir: str) -> DataFrame:
-    """Postings with superseded document versions masked (merge-on-read):
-    a doc_id-keyed left-semi join against :func:`live_doc_ids`. One
-    shuffle on doc_id; AQE broadcasts the live-id side when it is small
-    relative to the postings scan."""
+    """Postings with uncommitted partitions filtered out and superseded
+    document versions masked (merge-on-read): a doc_id-keyed left-semi
+    join against :func:`live_doc_ids`. One shuffle on doc_id; AQE
+    broadcasts the live-id side when it is small relative to the
+    postings scan."""
     live = live_doc_ids(spark, store_dir)
-    return spark.read.parquet(f"{store_dir}/postings").join(live, "doc_id", "left_semi")
+    return _read_committed(spark, store_dir, "postings").join(live, "doc_id", "left_semi")
 
 
 def read_live_dstats(spark: SparkSession, store_dir: str) -> DataFrame:
     live = live_doc_ids(spark, store_dir)
-    return spark.read.parquet(f"{store_dir}/dstats").join(live, "doc_id", "left_semi")
+    return _read_committed(spark, store_dir, "dstats").join(live, "doc_id", "left_semi")
+
+
+def _recover_compaction(src: str) -> None:
+    """Make the store whole before (re)compacting: a crash between the
+    two swap renames can leave ``src`` absent with its content in
+    ``src.old`` — restore it; stale ``.tmp``/``.old`` from any previous
+    crash are then discarded so the fresh rewrite starts clean."""
+    import os
+    import shutil
+
+    old, tmp = f"{src}.old", f"{src}.tmp"
+    if not os.path.isdir(src) and os.path.isdir(old):
+        os.rename(old, src)  # recovery: the pre-compaction data is canonical
+    for stale in (tmp, old):
+        if os.path.isdir(stale):
+            shutil.rmtree(stale)
+
+
+def _swap_in(src: str, tmp: str) -> None:
+    """Two-rename swap ordered so ``src`` is never durably absent: if the
+    tmp→src rename fails, old is rolled back; if the process dies between
+    the renames, :func:`_recover_compaction` restores from ``.old`` on
+    the next run."""
+    import os
+    import shutil
+
+    old = f"{src}.old"
+    os.rename(src, old)
+    try:
+        os.rename(tmp, src)
+    except BaseException:
+        os.rename(old, src)  # roll back: src must always exist
+        raise
+    shutil.rmtree(old)
 
 
 def compact_store(spark: SparkSession, store_dir: str) -> dict:
     """Offline compaction — the write-time half of the MERGE sink: rewrite
-    postings/dstats/docmap keeping only live doc versions, so read-time
-    masking goes back to a no-op and dead bytes are reclaimed. Standard
-    LSM/Delta-style maintenance: run between stream triggers (the stream
-    must be stopped, as with OPTIMIZE on a real lakehouse). The rewrite
-    lands in ``*.tmp`` siblings first and swaps in via rename, so a crash
-    mid-compact leaves the original store intact (single-FS semantics;
-    on a cluster the swap is the metastore transaction). Returns row
-    counts before/after for observability."""
+    postings/dstats/docmap keeping only live doc versions from COMMITTED
+    batches, so read-time masking goes back to a no-op, dead bytes are
+    reclaimed, and uncommitted crash partials are garbage-collected.
+    Standard LSM/Delta-style maintenance: run between stream triggers
+    (the stream must be stopped, as with OPTIMIZE on a real lakehouse).
+    The rewrite lands in ``*.tmp`` siblings first and swaps in via the
+    crash-ordered rename pair in :func:`_swap_in`; a crash at any point
+    is repaired by :func:`_recover_compaction` on the next invocation.
+    The per-row ``commit_id`` partition values are preserved, so the
+    marker set stays valid. Returns row counts before/after for
+    observability (``rows_before`` counts committed rows only; partials
+    were never readable)."""
     import os
-    import shutil
 
     live = live_doc_ids(spark, store_dir).cache()
     stats = {}
     for name in ("postings", "dstats", "docmap"):
         src = f"{store_dir}/{name}"
+        _recover_compaction(src)
         if not os.path.isdir(src):
             continue
-        df = spark.read.parquet(src)
+        df = _read_committed(spark, store_dir, name)
         before = df.count()
         kept = df.join(live, "doc_id", "left_semi")
         tmp = f"{src}.tmp"
-        kept.write.mode("overwrite").parquet(tmp)
-        old = f"{src}.old"
-        os.rename(src, old)
-        os.rename(tmp, src)
-        shutil.rmtree(old)
-        stats[name] = {"rows_before": before, "rows_after": spark.read.parquet(src).count()}
+        kept.write.mode("overwrite").partitionBy("commit_id").parquet(tmp)
+        _swap_in(src, tmp)
+        stats[name] = {
+            "rows_before": before,
+            "rows_after": _read_committed(spark, store_dir, name).count(),
+        }
     live.unpersist()
     return stats
 

@@ -43,12 +43,32 @@ def _token_array(content_col, truncate: bool = True):
     )
 
 
-def tokenize(corpus: DataFrame, content_col: str = "content", id_col: str = "doc_id") -> DataFrame:
+# Tag-strip for HTML-ish corpora (reference extract_html,
+# /root/reference/src/cis5550/jobs/Indexer.java:71-105 removes markup
+# before tokenizing). A code corpus skips this by default (SURVEY §2.2);
+# the flag makes the parity unconditional. Tags become a single space so
+# `<b>a</b><i>b</i>` still splits into two tokens; the replace is a JVM
+# codegen builtin — the plan stays one narrow scan→project→generate.
+HTML_TAG_RE = r"<[^>]*>"
+
+
+def strip_html_col(content_col):
+    return F.regexp_replace(content_col, HTML_TAG_RE, " ")
+
+
+def tokenize(
+    corpus: DataFrame,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    strip_html: bool = False,
+) -> DataFrame:
     """corpus[id_col, content_col, ...] → (doc_id, term, pos) one row per
     surviving token occurrence, pos contiguous 1..n over survivors.
     Narrow (no shuffle): scan → project → generate, all inside one
-    codegen stage."""
-    toks = _token_array(F.col(content_col))
+    codegen stage. ``strip_html`` removes markup tags first (reference
+    Indexer.java:71-105 parity; off by default for code corpora)."""
+    src = strip_html_col(F.col(content_col)) if strip_html else F.col(content_col)
+    toks = _token_array(src)
     return corpus.select(
         F.col(id_col).alias("doc_id"), F.posexplode(toks).alias("pos0", "term")
     ).select("doc_id", "term", (F.col("pos0") + 1).cast("int").alias("pos"))

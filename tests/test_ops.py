@@ -331,10 +331,14 @@ def test_embedding_dup_pairs_lsh_recall(emb):
         (r["id_a"], r["id_b"]) for r in embedding_dup_pairs(both, threshold=0.95).collect()
     }
     assert len(exact) >= 0.9 * len(rows)  # planted pairs exist
+    dim = len(rows[0]["embedding"])
     got = {
         (r["id_a"], r["id_b"])
-        for r in embedding_dup_pairs_lsh(both, threshold=0.95).collect()
+        for r in embedding_dup_pairs_lsh(both, threshold=0.95, dim=dim).collect()
     }
+    # dim is mandatory — inferring it would be a driver action on the corpus
+    with pytest.raises(ValueError, match="requires dim"):
+        embedding_dup_pairs_lsh(both, threshold=0.95)
     recall = len(exact & got) / len(exact)
     assert recall >= 0.9, f"LSH dedup recall {recall:.2f} over {len(exact)} pairs"
     assert got <= exact  # rescoring is exact → no false positives

@@ -143,6 +143,80 @@ def test_upsert_by_path_merge_on_read_and_compact(spark, tmp_path):
     changed.unpersist()
 
 
+def test_partial_batch_replay_never_double_counts(spark, tmp_path):
+    """The atomic-commit protocol: a crash after SOME of the three table
+    writes but before the marker leaves partials that are (a) invisible
+    to every read path and (b) OVERWRITTEN (not appended to) when the
+    batch replays — so postings can never double-count."""
+    from search_engine_spark.streaming import (
+        committed_commits,
+        compact_store,
+        read_live_postings,
+    )
+
+    corpus_dir = str(tmp_path / "in")
+    store = str(tmp_path / "store")
+    os.makedirs(corpus_dir)
+    docs = generate_corpus(spark, 40).cache()
+    docs.coalesce(1).write.mode("append").parquet(corpus_dir)
+    q = incremental_index_stream(spark, corpus_dir, store, str(tmp_path / "ck"))
+    _await(q)
+    committed = committed_commits(store)
+    assert len(committed) == 1
+    live_before = read_live_postings(spark, store).count()
+
+    # simulate the crash window: a partial postings partition for a batch
+    # whose marker never landed (copy the committed partition's data)
+    (token,) = committed
+    src = f"{store}/postings/commit_id={token}"
+    partial = f"{store}/postings/commit_id=c40-deadbeefdeadbeef"
+    shutil.copytree(src, partial)
+    # (a) invisible: live postings unchanged despite the raw rows
+    assert read_live_postings(spark, store).count() == live_before
+    raw = spark.read.parquet(f"{store}/postings").count()
+    assert raw == 2 * live_before  # partial IS on disk, just unreadable
+
+    # (b) replay of the same data (fresh checkpoint — upstream redelivery)
+    # computes the SAME token, finds it committed, and no-ops
+    q = incremental_index_stream(spark, corpus_dir, store, str(tmp_path / "ck2"))
+    _await(q)
+    assert committed_commits(store) == committed
+    assert read_live_postings(spark, store).count() == live_before
+
+    # (c) compaction garbage-collects the uncommitted partial
+    compact_store(spark, store)
+    assert spark.read.parquet(f"{store}/postings").count() == live_before
+    assert not os.path.isdir(partial)
+    docs.unpersist()
+
+
+def test_compaction_crash_recovery(spark, tmp_path):
+    """compact_store's swap: a crash that leaves src absent with the data
+    in .old (the window between the two renames) is repaired on the next
+    invocation, and stale .tmp leftovers are discarded."""
+    from search_engine_spark.streaming import compact_store, read_live_postings
+
+    corpus_dir = str(tmp_path / "in")
+    store = str(tmp_path / "store")
+    os.makedirs(corpus_dir)
+    docs = generate_corpus(spark, 30).cache()
+    docs.coalesce(1).write.mode("append").parquet(corpus_dir)
+    q = incremental_index_stream(spark, corpus_dir, store, str(tmp_path / "ck"))
+    _await(q)
+    n_live = read_live_postings(spark, store).count()
+
+    # simulate crash between os.rename(src, old) and os.rename(tmp, src)
+    src = f"{store}/postings"
+    os.rename(src, f"{src}.old")
+    os.makedirs(f"{src}.tmp")  # stale tmp from the dead attempt
+    stats = compact_store(spark, store)
+    assert os.path.isdir(src) and not os.path.isdir(f"{src}.old")
+    assert not os.path.isdir(f"{src}.tmp")
+    assert stats["postings"]["rows_after"] == n_live
+    assert read_live_postings(spark, store).count() == n_live
+    docs.unpersist()
+
+
 @pytest.fixture(scope="module")
 def events_dir(spark, tmp_path_factory):
     d = str(tmp_path_factory.mktemp("ev") / "in")

@@ -40,6 +40,43 @@ def test_golden_cases(spark):
         assert got == expected, (content, got, expected)
 
 
+# HTML-strip flag (reference extract_html, Indexer.java:71-105): tags
+# removed before tokenizing; a tag acts as a token delimiter; attribute
+# values inside tags never become tokens; positions stay contiguous.
+GOLDEN_HTML = [
+    (
+        '<p class="lead">Hello<br/>World</p>',
+        [("hello", 1), ("world", 2)],
+    ),
+    (
+        "<script>var hidden = 1;</script>visible text",
+        [("var", 1), ("hidden", 2), ("1", 3), ("visible", 4), ("text", 5)],
+    ),
+    # adjacent-tag boundary must split tokens, not glue them
+    ("<b>left</b><i>right</i>", [("left", 1), ("right", 2)]),
+    # ANY '<...>' span is treated as a tag (same over-approximation as the
+    # reference's regex pass): '< b and b >' is stripped wholesale. This
+    # is why the flag is OFF by default for code corpora — comparison
+    # chains and generics would be eaten; a lone '<' stays literal text.
+    ("a < b and b > c", [("a", 1), ("c", 2)]),
+    ("x < y", [("x", 1), ("y", 2)]),
+]
+
+
+def test_html_strip_golden(spark):
+    for content, expected in GOLDEN_HTML:
+        df = spark.createDataFrame([(1, content)], "doc_id long, content string")
+        got = [
+            (r["term"], r["pos"])
+            for r in tokenize(df, strip_html=True).orderBy("pos").collect()
+        ]
+        assert got == expected, (content, got, expected)
+    # flag off (the code-corpus default): tags tokenize like any text
+    df = spark.createDataFrame([(1, "<b>x</b>")], "doc_id long, content string")
+    got = [(r["term"], r["pos"]) for r in tokenize(df).orderBy("pos").collect()]
+    assert got == [("b", 1), ("x", 2), ("b", 3)]
+
+
 def test_oracle_tokenizer_agrees(spark):
     for content, _ in GOLDEN:
         spark_terms = [t for t, _ in spark_tokens(spark, content)]
