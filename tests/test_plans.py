@@ -211,6 +211,26 @@ def test_curate_v2_composed_plan_no_cartesian_no_python(docs):
     assert "ArrowEvalPython" not in plan and "PythonUDF" not in plan, plan
 
 
+def test_composed_neardup_pipeline_has_shingle_cap(spark):
+    """Scale-facing composed dedup (neardup_dedup) must run the Jaccard
+    self-join over the CAPPED shingle universe: the entry pins a non-None
+    cap, and the capped pairs stage carries the hot-shingle df filter
+    (`_df <= cap`) in its plan. The final composed frame can't show it —
+    dup_clusters checkpoints the pair graph eagerly — so the gate sits on
+    the pairs stage, exactly where the quadratic blow-up would live. The
+    uncapped exact mode is reserved for the bare jaccard_dedup entry."""
+    import __spark_entry__ as E
+
+    assert E.NEARDUP_MAX_SHINGLE_DF is not None
+
+    from search_engine_spark.ops.dedup import jaccard_dup_pairs
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    capped = _plan(jaccard_dup_pairs(d, max_shingle_df=E.NEARDUP_MAX_SHINGLE_DF))
+    assert "_df" in capped, capped
+    assert "_df" not in _plan(jaccard_dup_pairs(d))  # exact/oracle mode
+
+
 def test_subtoken_channel_single_scan_no_shuffle(docs):
     """The subtoken channel must read the corpus ONCE (a union of two
     branches would scan the parquet twice — 2x I/O at 100 TB) and stay
