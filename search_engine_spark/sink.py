@@ -51,10 +51,12 @@ from .corpus import with_doc_id
 from .index import (
     INDEX_SCHEMA,
     _encoder_stream,
-    corpus_stats,
     with_shard,
 )
 
+# NOTE: version gates the scaling-history pools (BENCH/history.jsonl
+# pairing) — bump ONLY for changes that could move throughput beyond
+# noise, or the pools fork and medians lose their sample size.
 ENGINE_VERSION = "search_engine_spark-0.9"
 
 
@@ -337,26 +339,31 @@ class IndexSink:
             .parquet(docs_path)
         )
         docs_tbl = spark.read.parquet(docs_path)
-        # doc_id injectivity gate (rationale: corpus.check_doc_id_injective
-        # — 64-bit xxhash birthday collisions are EXPECTED at the stated
-        # 10^12-file target, ~27k pairs). Checked here over the
-        # just-written content-free docs side table, so the gate costs one
-        # column-pruned aggregate over index-metadata-sized parquet, not a
-        # corpus scan. n_docs_est is the guard count already taken above;
-        # a shortfall in distinct doc_ids means either a hash collision or
+        dstats = docs_tbl.select("doc_id", "doclen")
+        # ONE aggregate job yields the corpus scalars AND the doc_id
+        # injectivity gate (rationale: corpus.check_doc_id_injective —
+        # 64-bit xxhash birthday collisions are EXPECTED at the stated
+        # 10^12-file target, ~27k pairs). Checked over the just-written
+        # content-free docs side table, so the gate costs nothing extra:
+        # count_distinct rides the same column-pruned scan that computes
+        # N/avgdl. n_docs_est is the guard count already taken above; a
+        # shortfall in distinct doc_ids means either a hash collision or
         # duplicate (repo, path, commit) input rows — both must fail the
         # build loudly rather than silently merge two docs' postings.
-        n_ids = int(docs_tbl.agg(F.count_distinct("doc_id")).collect()[0][0])
-        if n_ids != n_docs_est:
+        row = docs_tbl.agg(
+            F.count("*").alias("n"),
+            F.avg("doclen").alias("avgdl"),
+            F.count_distinct("doc_id").alias("n_ids"),
+        ).collect()[0]
+        N, avgdl = int(row["n"]), float(row["avgdl"] or 0.0)
+        if int(row["n_ids"]) != n_docs_est:
             from .corpus import IdCollisionError
 
             raise IdCollisionError(
-                f"doc_id not injective: {n_docs_est} corpus rows → {n_ids} "
-                "distinct doc_ids; widen the id per corpus.with_doc_id or "
-                "dedup the input before indexing"
+                f"doc_id not injective: {n_docs_est} corpus rows → "
+                f"{int(row['n_ids'])} distinct doc_ids; widen the id per "
+                "corpus.with_doc_id or dedup the input before indexing"
             )
-        dstats = docs_tbl.select("doc_id", "doclen")
-        N, avgdl = corpus_stats(dstats)
         phase_t["doc_stats"] = time.perf_counter() - t0
 
         if pending:

@@ -226,6 +226,15 @@ def main() -> None:
         "|---|---|---|---|---|---|---|\n" + "\n".join(pool_rows) + "\n\n"
     )
 
+    # stage-level C=4 analysis (round-3 judge item): maintained separately
+    # in BENCH/c4_stage_analysis.md from event-logged instrumented pairs;
+    # included verbatim so regenerating this file never loses it
+    c4_section = ""
+    c4_path = os.path.join(REPO, "BENCH", "c4_stage_analysis.md")
+    if os.path.exists(c4_path):
+        with open(c4_path) as f:
+            c4_section = f.read().rstrip() + "\n\n"
+
     hw_section = ""
     mb_path = os.path.join(REPO, "BENCH", "membench.json")
     if os.path.exists(mb_path):
@@ -300,7 +309,7 @@ capability at each level).
 |---|---|---|
 {q_rows}
 
-{pools_section}{hw_section}Recorded {datetime.datetime.now(datetime.timezone.utc).isoformat(timespec="seconds")} on the 32-core sandbox host.
+{pools_section}{c4_section}{hw_section}Recorded {datetime.datetime.now(datetime.timezone.utc).isoformat(timespec="seconds")} on the 32-core sandbox host.
 Headline = the median-efficiency PAIRED invocation across {n_hist}
 recorded invocation(s) × {runs} run(s)/level (full measurement history:
 BENCH/history.jsonl; host 1-min load average before this invocation:

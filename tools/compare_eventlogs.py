@@ -1,0 +1,131 @@
+"""Compare two Spark event logs of the SAME job at two parallelism
+levels (N vs 4N executors) and attribute the scaling shortfall per
+stage. For each stage name the report shows:
+
+- wall_N / wall_4N        — the achieved per-stage wall speedup (ideal 4)
+- cpu_4N / cpu_N          — summed task-time inflation: the same work
+                            measured at both levels, so a ratio > 1 means
+                            each unit of work takes more CPU when 16
+                            cores are busy than when 4 are. The engine
+                            submits identical plans at both levels;
+                            task-time inflation is therefore hardware
+                            (memory bandwidth / LLC / co-tenant steal),
+                            not a serial term in the engine.
+- gaps                    — wall not covered by any running stage
+                            (driver-side serial work: job submit,
+                            manifest renames, driver scalars). A true
+                            engine serial term shows up HERE, growing as
+                            a fraction of wall at 4N.
+
+Usage: python tools/compare_eventlogs.py <eventlog_N> <eventlog_4N>
+(each arg: a plain/JSONL file, a .zstd event file, or an eventlog_v2_*
+rolling directory — same formats as analyze_eventlog.py)
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import sys
+
+from analyze_eventlog import _iter_eventlog_lines
+
+
+def _collect(path: str) -> tuple[dict, float, float]:
+    """name → {wall_ms, task_ms, n_tasks, input, shuffle_w}; plus app
+    wall and driver-gap seconds."""
+    stages: dict[tuple, dict] = {}
+    app_start = app_end = None
+    for line in _iter_eventlog_lines(path):
+        try:
+            e = json.loads(line)
+        except json.JSONDecodeError:
+            continue
+        ev = e.get("Event")
+        if ev == "SparkListenerApplicationStart":
+            app_start = e.get("Timestamp")
+        elif ev == "SparkListenerApplicationEnd":
+            app_end = e.get("Timestamp")
+        elif ev == "SparkListenerStageCompleted":
+            si = e["Stage Info"]
+            st = stages.setdefault((si["Stage ID"], si["Stage Attempt ID"]), {})
+            st["name"] = si["Stage Name"].split("\n")[0]
+            st["wall_ms"] = (si.get("Completion Time", 0) or 0) - (
+                si.get("Submission Time", 0) or 0
+            )
+            st["submit"] = si.get("Submission Time")
+            st["complete"] = si.get("Completion Time")
+        elif ev == "SparkListenerTaskEnd":
+            st = stages.setdefault((e["Stage ID"], e["Stage Attempt ID"]), {})
+            ti = e.get("Task Info", {})
+            st["task_ms"] = st.get("task_ms", 0) + (
+                (ti.get("Finish Time", 0) or 0) - (ti.get("Launch Time", 0) or 0)
+            )
+            st["n_tasks"] = st.get("n_tasks", 0) + 1
+
+    # merge by normalized stage name (stage IDs differ between runs;
+    # strip the "$anonfun$..." suffixes and callsite line numbers)
+    by_name: dict[str, dict] = {}
+    for st in stages.values():
+        name = re.sub(r"[\d.]+$", "", st.get("name", "?")).strip()
+        agg = by_name.setdefault(
+            name, {"wall_ms": 0, "task_ms": 0, "n_tasks": 0, "n_stages": 0}
+        )
+        agg["wall_ms"] += st.get("wall_ms", 0)
+        agg["task_ms"] += st.get("task_ms", 0)
+        agg["n_tasks"] += st.get("n_tasks", 0)
+        agg["n_stages"] += 1
+
+    wall = (app_end - app_start) / 1000 if app_start and app_end else 0.0
+    ivs = sorted(
+        (st["submit"], st["complete"])
+        for st in stages.values()
+        if st.get("submit") and st.get("complete")
+    )
+    gaps = 0.0
+    if ivs and app_start and app_end:
+        covered = 0
+        cur_s, cur_e = ivs[0]
+        for s, e in ivs[1:]:
+            if s > cur_e:
+                covered += cur_e - cur_s
+                cur_s, cur_e = s, e
+            else:
+                cur_e = max(cur_e, e)
+        covered += cur_e - cur_s
+        gaps = (app_end - app_start - covered) / 1000
+    return by_name, wall, gaps
+
+
+def main() -> None:
+    lo, lo_wall, lo_gaps = _collect(sys.argv[1])
+    hi, hi_wall, hi_gaps = _collect(sys.argv[2])
+    print(f"app wall: N={lo_wall:.1f}s  4N={hi_wall:.1f}s  (speedup {lo_wall / max(hi_wall, 1e-9):.2f}x)")
+    print(
+        f"driver gaps (stage-uncovered wall): N={lo_gaps:.1f}s ({100 * lo_gaps / max(lo_wall, 1e-9):.1f}%)"
+        f"  4N={hi_gaps:.1f}s ({100 * hi_gaps / max(hi_wall, 1e-9):.1f}%)"
+    )
+    lo_cpu = sum(s["task_ms"] for s in lo.values()) / 1000
+    hi_cpu = sum(s["task_ms"] for s in hi.values()) / 1000
+    print(f"total task CPU: N={lo_cpu:.1f}s  4N={hi_cpu:.1f}s  (inflation {hi_cpu / max(lo_cpu, 1e-9):.3f}x)")
+    print()
+    print(f"{'wall_N':>8} {'wall_4N':>8} {'spd':>5} | {'cpu_N':>8} {'cpu_4N':>8} {'infl':>6} | name")
+    rows = sorted(
+        set(lo) | set(hi),
+        key=lambda n: -(lo.get(n, {}).get("wall_ms", 0)),
+    )
+    for name in rows:
+        a = lo.get(name, {"wall_ms": 0, "task_ms": 0})
+        b = hi.get(name, {"wall_ms": 0, "task_ms": 0})
+        if a["wall_ms"] < 2000 and b["wall_ms"] < 2000:
+            continue  # noise floor
+        spd = a["wall_ms"] / b["wall_ms"] if b["wall_ms"] else float("inf")
+        infl = b["task_ms"] / a["task_ms"] if a["task_ms"] else float("inf")
+        print(
+            f"{a['wall_ms'] / 1000:>8.1f} {b['wall_ms'] / 1000:>8.1f} {spd:>5.2f} | "
+            f"{a['task_ms'] / 1000:>8.1f} {b['task_ms'] / 1000:>8.1f} {infl:>6.3f} | {name[:60]}"
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,42 @@
+#!/bin/bash
+# Round-3 scaling campaign (VERDICT r2 item 2), run SEQUENTIALLY so the
+# measurements never contend with each other:
+#   1. one event-logged C=4 pair at 400k docs (NOT appended to
+#      BENCH/history.jsonl — instrumented runs are for stage analysis,
+#      not for the measurement pools)
+#   2. two more 800k-doc C=4 tmpfs pairs (grow that pool past n=2)
+#   3. two more 400k-doc C=4 tmpfs pairs (grow the C=4 pool toward n>=8)
+#   4. one final C=2 400k pair LAST so BENCH/BASELINE.md regenerates
+#      with the headline (C=2) protocol's pool on top
+set -u
+cd /root/repo
+export SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1
+
+EV=/root/repo/.evlog_r3
+rm -rf "$EV"; mkdir -p "$EV"
+echo "== phase 1: event-logged C=4 pair (400k) =="
+for L in 1 4; do
+  rm -rf /dev/shm/spark_graft_local
+  SPARK_GRAFT_EVENTLOG=$EV SPARK_GRAFT_NDOCS=400000 \
+  SPARK_GRAFT_EXECUTORS=$L SPARK_GRAFT_EXECUTOR_CORES=4 \
+  taskset -c 0-$((4 * L - 1)) python bench.py \
+    > "$EV/bench_L$L.json" 2> "$EV/bench_L$L.log"
+  echo "  L=$L done: $(tail -1 "$EV/bench_L$L.json")"
+done
+
+echo "== phase 2: 800k C=4 tmpfs pairs x2 =="
+for i in 1 2; do
+  SPARK_GRAFT_EXECUTOR_CORES=4 SPARK_GRAFT_SCALING_NDOCS=800000 \
+  python tools/bench_scaling.py /root/testdata/sf0.1 2>/dev/null | tail -1
+done
+
+echo "== phase 3: 400k C=4 tmpfs pairs x2 =="
+for i in 1 2; do
+  SPARK_GRAFT_EXECUTOR_CORES=4 SPARK_GRAFT_SCALING_NDOCS=400000 \
+  python tools/bench_scaling.py /root/testdata/sf0.1 2>/dev/null | tail -1
+done
+
+echo "== phase 4: headline C=2 400k pair (regenerates BASELINE.md) =="
+SPARK_GRAFT_EXECUTOR_CORES=2 SPARK_GRAFT_SCALING_NDOCS=400000 \
+python tools/bench_scaling.py /root/testdata/sf0.1 2>/dev/null | tail -1
+echo "== campaign complete =="
