@@ -1186,6 +1186,37 @@ def q_doc_id_collisions(spark, sf_dir):
     )
 
 
+def q_id_collision_resolve(spark, sf_dir):
+    # deterministic collision REMAP (corpus.resolve_id_collisions — the
+    # 10^12-scale answer that keeps a single-long doc_id): force md5-mod-32
+    # id collisions over the documents table, resolve, and return the
+    # engine-portable facts — which row kept its original small id (the
+    # smallest key in each colliding group). The remapped values
+    # themselves are xxhash64-salted (no DuckDB twin), so injectivity of
+    # the resolved ids is asserted in-Spark instead.
+    from search_engine_spark.corpus import resolve_id_collisions
+
+    d = (
+        _read(spark, sf_dir, "documents")
+        .select("doc_id", F.col("doc_id").cast("string").alias("k"))
+        .withColumn(
+            "sid0",
+            F.pmod(
+                F.conv(F.substring(F.md5("k"), 1, 15), 16, 10).cast("long"),
+                F.lit(32),
+            ),
+        )
+        .withColumn("sid", F.col("sid0"))
+    )
+    resolved, _n = resolve_id_collisions(d, key_cols=("k",), id_col="sid")
+    assert resolved.groupBy("sid").count().where("count > 1").count() == 0
+    return resolved.select(
+        "doc_id",
+        F.col("sid0").alias("small_id"),
+        (F.col("sid") == F.col("sid0")).alias("kept"),
+    )
+
+
 def q_url_index(spark, sf_dir):
     # URL-index analog (URLIndexer.java:108-172): tokens of the document
     # "location" (source column here; repo/path for the code corpus) →
@@ -1377,6 +1408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_pagerank_blend": q_bm25_pagerank_blend,
         "html_strip_tokens": q_html_strip_tokens,
         "doc_id_collisions": q_doc_id_collisions,
+        "id_collision_resolve": q_id_collision_resolve,
         # -- core engine path --
         "tokenize_postings": q_tokenize_postings,
         "flatmap_tokens": q_flatmap_tokens,
@@ -1410,8 +1442,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "unigram_ppl": q_unigram_ppl,
         "fingerprints": q_fingerprints,
-        "multimodal_features": q_multimodal_features,
         # ---- 50-entry driver window ends here ----
+        "multimodal_features": q_multimodal_features,  # driver-green in r2
         "frame_plan": q_frame_plan,
         "foldbykey_agg": q_foldbykey_agg,
         "join_equi": q_join_equi,
@@ -2004,5 +2036,16 @@ def oracle_sql() -> dict[str, str]:
                    (COUNT(DISTINCT source)
                     - COUNT(DISTINCT substr(md5(source), 1, 16)))::BIGINT AS n_collisions
             FROM documents
+        """,
+        "id_collision_resolve": """
+            WITH ids AS (
+              SELECT doc_id, CAST(doc_id AS VARCHAR) AS k,
+                     CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                          AS BIGINT) % 32 AS small_id
+              FROM documents
+            )
+            SELECT doc_id, small_id,
+                   k = MIN(k) OVER (PARTITION BY small_id) AS kept
+            FROM ids
         """,
     }

@@ -134,7 +134,11 @@ def with_doc_id(df: DataFrame) -> DataFrame:
     downstream op keys on the opaque id column(s) and the block codec
     would add a second delta stream. Kept 64-bit here because a single
     long doc_id is what the delta-varbyte doc stream encodes, and the
-    sandbox corpora are ≤ 10^6 docs (collision odds ~3e-8 per corpus)."""
+    sandbox corpora are ≤ 10^6 docs (collision odds ~3e-8 per corpus).
+    The IMPLEMENTED 10^12-scale path is :func:`resolve_id_collisions`
+    (IndexSink.build(on_id_collision="resolve")): deterministically remap
+    the ~27k colliding keys to fresh unique 64-bit ids instead of paying
+    a second id column on every posting."""
     return df.withColumn("doc_id", F.xxhash64("repo", "path", "commit")).withColumn(
         "content_sha", F.sha2("content", 256)
     )
@@ -184,6 +188,124 @@ def check_doc_id_injective(
             f"{key_cols} keys — dedup the corpus before indexing"
         )
     return {"n_rows": n_rows, "n_keys": n_keys, "n_ids": n_ids}
+
+
+def resolve_id_collisions(
+    df: DataFrame,
+    key_cols: tuple[str, ...] = ("repo", "path", "commit"),
+    id_col: str = "doc_id",
+    max_rounds: int = 16,
+) -> tuple[DataFrame, int]:
+    """Deterministically remap hash-colliding ids to fresh unique 64-bit
+    values, keeping the single-long id the delta-varbyte doc stream
+    encodes instead of widening to 128 bits (the alternative recipe in
+    :func:`with_doc_id`). Returns ``(resolved_df, n_remapped)``.
+
+    Scale shape (the whole point — 10^12 docs ⇒ E ≈ 27k colliding
+    pairs, n²/2^65):
+
+    * detection is one ``groupBy(id)`` over a key-pruned scan — the same
+      cost class as the injectivity gate's ``count_distinct`` (8-byte
+      ids shuffle with map-side partial aggregation); content never
+      reads;
+    * the colliding set is collision-sized, so it collects driver-side
+      like any model-sized artifact (k-means centroids, broadcast query
+      sets);
+    * the corpus itself NEVER shuffles: the remap applies as a broadcast
+      left join + ``coalesce``.
+
+    Deterministic and resumable: within a colliding group the smallest
+    key tuple keeps the original id; every other row takes
+    ``xxhash64(*key_cols, salt)`` with the smallest salt ≥ 1 that is
+    (a) unique within the candidate set and (b) absent from the corpus
+    id set — (b) checked per round with a broadcast left-semi probe over
+    a pruned scan; expected rounds ≈ 1 (P[rehash clash] ≈ n/2^64 each).
+    Re-running on the same input reproduces the same remap bit-for-bit.
+
+    Raises :class:`IdCollisionError` when a colliding group contains
+    duplicate KEY rows — that is double ingestion, not a hash collision,
+    and must be deduped upstream, never remapped.
+
+    ``key_cols`` must be string columns (the input-hint natural key
+    repo/path/commit is).
+    """
+    spark = df.sparkSession
+    keys = df.select(*key_cols, id_col)
+    dup_ids = (
+        keys.groupBy(id_col)
+        .agg(F.count("*").alias("c"))
+        .where(F.col("c") > 1)
+        .select(id_col)
+    )
+    colliding = keys.join(F.broadcast(dup_ids), id_col, "inner").collect()
+    if not colliding:
+        return df, 0
+
+    by_id: dict[int, list] = {}
+    for r in colliding:
+        by_id.setdefault(r[id_col], []).append(tuple(r[c] for c in key_cols))
+    to_remap: list[tuple] = []
+    for _id, group in by_id.items():
+        group.sort()
+        for a, b in zip(group, group[1:]):
+            if a == b:
+                raise IdCollisionError(
+                    f"duplicate input rows share key {a!r}: double ingestion, "
+                    "not a hash collision — dedup the corpus before indexing"
+                )
+        to_remap.extend(group[1:])  # smallest key keeps the original id
+
+    n_remapped = len(to_remap)
+    pending = [(k, 1) for k in to_remap]  # (key tuple, salt)
+    final: list[tuple] = []  # (key..., new_id)
+    schema = ", ".join(f"{c} string" for c in key_cols) + ", salt int"
+    for _ in range(max_rounds):
+        if not pending:
+            break
+        cand_df = spark.createDataFrame(
+            [(*k, s) for k, s in pending], schema=schema
+        ).withColumn("__new_id", F.xxhash64(*key_cols, F.col("salt")))
+        cands = cand_df.collect()
+        # (b) corpus probe: candidate ids already live in the corpus —
+        # pruned scan, broadcast semi, zero shuffle
+        taken = {
+            r[0]
+            for r in df.select(id_col)
+            .join(
+                F.broadcast(cand_df.select(F.col("__new_id").alias(id_col))),
+                id_col,
+                "left_semi",
+            )
+            .distinct()
+            .collect()
+        }
+        # (a) uniqueness within the candidate set: first-by-key-order wins
+        seen_round: set[int] = set()
+        nxt = []
+        for r in sorted(cands, key=lambda r: tuple(r[c] for c in key_cols)):
+            key = tuple(r[c] for c in key_cols)
+            nid = r["__new_id"]
+            if nid in taken or nid in seen_round:
+                nxt.append((key, r["salt"] + 1))
+            else:
+                seen_round.add(nid)
+                final.append((*key, nid))
+        pending = nxt
+    if pending:
+        raise IdCollisionError(
+            f"could not find collision-free ids for {len(pending)} keys "
+            f"after {max_rounds} salted rounds — statistically impossible "
+            "for a healthy 64-bit hash; check the input for adversarial keys"
+        )
+    remap = spark.createDataFrame(
+        final, schema=", ".join(f"{c} string" for c in key_cols) + ", __new_id long"
+    )
+    resolved = (
+        df.join(F.broadcast(remap), list(key_cols), "left")
+        .withColumn(id_col, F.coalesce("__new_id", F.col(id_col)))
+        .drop("__new_id")
+    )
+    return resolved, n_remapped
 
 
 def reference_queries() -> list[tuple[int, str]]:

@@ -218,6 +218,7 @@ class IndexSink:
         fail_after_waves: int | None = None,
         n_shards: int = C.N_DOC_SHARDS,
         url_cols: tuple[str, ...] | None = ("repo", "path"),
+        on_id_collision: str = "fail",
     ) -> dict:
         """Build (or resume) the index for ``corpus`` (raw input-hint schema:
         repo/path/commit/lang/content).  Idempotent: committed buckets are
@@ -229,14 +230,27 @@ class IndexSink:
         filenames/modules are searchable in the PRIMARY index) and the
         per-posting uf bonus flag (Search.java:98). None disables both.
 
+        ``on_id_collision``: "fail" (default) keeps the cheap injectivity
+        gate — one count_distinct riding the doc-stats aggregate — and
+        raises IdCollisionError on any 64-bit birthday collision.
+        "resolve" runs corpus.resolve_id_collisions up front instead:
+        colliding keys deterministically remap to fresh unique ids
+        BEFORE tokenize (after postings aggregate, merged docs could
+        never be split apart). Costs one extra id-only groupBy detection
+        pass, so it is opt-in for corpora large enough to expect
+        collisions (~10^10+ docs); n_remapped lands in meta.json lineage.
+
         ``fail_after_waves`` is a test hook simulating a mid-build crash.
         """
+        if on_id_collision not in ("fail", "resolve"):
+            raise ValueError(f"on_id_collision: {on_id_collision!r}")
         spark = corpus.sparkSession
         old_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes", None)
         tuned = _tune_scan_granularity(spark, corpus)
         try:
             return self._build_inner(
-                corpus, buckets_per_wave, fail_after_waves, n_shards, url_cols
+                corpus, buckets_per_wave, fail_after_waves, n_shards, url_cols,
+                on_id_collision,
             )
         finally:
             if tuned is not None:
@@ -254,6 +268,7 @@ class IndexSink:
         fail_after_waves: int | None,
         n_shards: int,
         url_cols: tuple[str, ...] | None,
+        on_id_collision: str = "fail",
     ) -> dict:
         t_start = time.perf_counter()
         phase_t: dict[str, float] = {}
@@ -271,6 +286,11 @@ class IndexSink:
         pending = [b for b in range(self.n_buckets) if b not in done]
         spark = corpus.sparkSession
         corpus_ids = with_doc_id(corpus)
+        n_remapped = 0
+        if on_id_collision == "resolve":
+            from .corpus import resolve_id_collisions
+
+            corpus_ids, n_remapped = resolve_id_collisions(corpus_ids)
 
         # I/O-lean dataflow — ONE full corpus tokenize total, no
         # rebalancing shuffle (spark.sql.files.maxPartitionBytes is sized
@@ -510,6 +530,7 @@ class IndexSink:
             "engine": ENGINE_VERSION,
             "url_cols": list(url_cols) if url_cols else [],
             "built_buckets": self.n_buckets,
+            "id_collisions_resolved": n_remapped,
             "wall_s_this_run": round(time.perf_counter() - t_start, 3),
             "resumed_buckets": len(done),
             "phase_timings_s": {k: round(v, 2) for k, v in phase_t.items()},

@@ -72,6 +72,81 @@ def test_doc_id_injectivity_gate(spark, raw_corpus, tmp_path_factory):
     assert not read_manifest(root)
 
 
+def test_resolve_id_collisions(spark, raw_corpus):
+    """Deterministic collision remap (the 10^12-scale answer that keeps a
+    single-long doc_id): forced mod-8 collisions resolve to injective ids,
+    the smallest key tuple in each group keeps its original id, the remap
+    is bit-identical across runs, and duplicate KEY rows still raise."""
+    from search_engine_spark.corpus import (
+        IdCollisionError,
+        resolve_id_collisions,
+        with_doc_id,
+    )
+
+    df = with_doc_id(raw_corpus.limit(40)).withColumn(
+        "doc_id", F.pmod(F.col("doc_id"), F.lit(8)).cast("long")
+    )
+    rows = df.select("repo", "path", "commit", "doc_id").collect()
+    n_groups = len({r["doc_id"] for r in rows})
+    keepers = {}  # id -> smallest key tuple
+    for r in rows:
+        k = (r["repo"], r["path"], r["commit"])
+        if r["doc_id"] not in keepers or k < keepers[r["doc_id"]]:
+            keepers[r["doc_id"]] = k
+
+    resolved, n_remapped = resolve_id_collisions(df)
+    out = resolved.select("repo", "path", "commit", "doc_id").collect()
+    assert len({r["doc_id"] for r in out}) == 40  # injective now
+    assert n_remapped == 40 - n_groups
+    by_key = {(r["repo"], r["path"], r["commit"]): r["doc_id"] for r in out}
+    for old_id, key in keepers.items():
+        assert by_key[key] == old_id  # smallest key kept the original id
+
+    again, n2 = resolve_id_collisions(df)
+    assert n2 == n_remapped
+    assert sorted(map(tuple, again.collect())) == sorted(map(tuple, resolved.collect()))
+
+    # collision-free input is a no-op (and cheap: remains the same frame)
+    clean, n0 = resolve_id_collisions(with_doc_id(raw_corpus.limit(10)))
+    assert n0 == 0 and clean.count() == 10
+
+    # duplicate key rows are double ingestion, never remapped
+    dup = df.limit(3)
+    with pytest.raises(IdCollisionError, match="duplicate"):
+        resolve_id_collisions(dup.union(dup))
+
+
+def test_sink_build_resolves_collisions(spark, raw_corpus, tmp_path_factory, monkeypatch):
+    """on_id_collision='resolve' builds through a colliding id assignment:
+    the docs table comes out injective, meta.json records the remap count,
+    and the default 'fail' mode still raises on the same corpus."""
+    from search_engine_spark import corpus as corpus_mod
+    from search_engine_spark import sink as sink_mod
+    from search_engine_spark.corpus import IdCollisionError
+
+    def colliding(df):
+        return corpus_mod.with_doc_id(df).withColumn(
+            "doc_id", F.pmod(F.col("doc_id"), F.lit(64)).cast("long")
+        )
+
+    monkeypatch.setattr(sink_mod, "with_doc_id", colliding)
+    small = raw_corpus.limit(120)
+    n_groups = colliding(small).select("doc_id").distinct().count()
+
+    root = str(tmp_path_factory.mktemp("sink") / "collide_fail")
+    with pytest.raises(IdCollisionError):
+        IndexSink(root, n_buckets=N_BUCKETS).build(small)
+
+    root = str(tmp_path_factory.mktemp("sink") / "collide_resolve")
+    r = IndexSink(root, n_buckets=N_BUCKETS).build(small, on_id_collision="resolve")
+    assert r["meta"]["id_collisions_resolved"] == 120 - n_groups
+    docs = spark.read.parquet(os.path.join(root, "docs"))
+    assert docs.select("doc_id").distinct().count() == docs.count() == 120
+
+    with pytest.raises(ValueError, match="on_id_collision"):
+        IndexSink(root, n_buckets=N_BUCKETS).build(small, on_id_collision="nope")
+
+
 def test_build_resume_identical(spark, raw_corpus, tmp_path_factory):
     single = str(tmp_path_factory.mktemp("sink") / "single")
     resumed = str(tmp_path_factory.mktemp("sink") / "resumed")
