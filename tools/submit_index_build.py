@@ -33,6 +33,14 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--buckets", type=int, default=None, help="term buckets (commit units)")
     p.add_argument("--shards", type=int, default=None, help="doc shards (skew salt)")
     p.add_argument("--buckets-per-wave", type=int, default=8)
+    p.add_argument(
+        "--on-id-collision",
+        choices=("fail", "resolve"),
+        default="fail",
+        help="at ~10^10+ docs 64-bit id collisions are expected: "
+        "'resolve' deterministically remaps them (corpus.resolve_id_collisions) "
+        "for one extra id-only detection pass; 'fail' keeps the free gate",
+    )
     args = p.parse_args(argv)
 
     from search_engine_spark import constants as C
@@ -48,6 +56,7 @@ def main(argv: list[str] | None = None) -> None:
         corpus,
         buckets_per_wave=args.buckets_per_wave,
         n_shards=args.shards or C.N_DOC_SHARDS,
+        on_id_collision=args.on_id_collision,
     )
     print(json.dumps(res))
     if not preexisting:  # under spark-submit we own the session
