@@ -327,9 +327,15 @@ def _curation_sql() -> str:
     """
 
 
-def _pagerank3_sql() -> str:
-    """3 unrolled PageRank iterations over the lineitem-derived graph —
-    the SQL twin of ops.pagerank.pagerank(fixed_iters=3)."""
+# one source of truth for the unrolled-iteration CTE shared by the two
+# PageRank-bearing oracles — a fix to damping/dangling handling must land
+# in exactly one place or the twins drift apart silently.
+# 1.0 - 0.85 in float64 is 0.15000000000000002; both engines write the
+# same repr'd value.
+_PR_BASE = repr(1.0 - 0.85)
+
+
+def _pagerank_iters_sql(n_iters: int = 3) -> str:
     iter_tpl = """r{next} AS (
           SELECT n.node,
                  {base} + coalesce(i.s, 0.0) AS rank
@@ -337,11 +343,15 @@ def _pagerank3_sql() -> str:
             SELECT e.dst AS node, SUM(r.rank / o.outdeg * 0.85) AS s
             FROM edges e JOIN outdeg o ON e.src = o.src JOIN r{cur} r ON r.node = e.src
             GROUP BY e.dst) i USING (node))"""
-    # 1.0 - 0.85 in float64 is 0.15000000000000002; write the same value
-    base = repr(1.0 - 0.85)
-    iters = ",\n        ".join(
-        iter_tpl.format(cur=i, next=i + 1, base=base) for i in range(3)
+    return ",\n        ".join(
+        iter_tpl.format(cur=i, next=i + 1, base=_PR_BASE) for i in range(n_iters)
     )
+
+
+def _pagerank3_sql() -> str:
+    """3 unrolled PageRank iterations over the lineitem-derived graph —
+    the SQL twin of ops.pagerank.pagerank(fixed_iters=3)."""
+    iters = _pagerank_iters_sql(3)
     return f"""
         WITH edges AS (
           SELECT DISTINCT l_orderkey % 97 AS src, l_suppkey % 97 AS dst
@@ -360,17 +370,8 @@ def _blend_sql() -> str:
     deterministic doc-id graph, then the reference's log-blend
     (Search.java:111-114) with the implicit floor rank for docs outside
     the graph."""
-    iter_tpl = """r{next} AS (
-          SELECT n.node,
-                 {base} + coalesce(i.s, 0.0) AS rank
-          FROM nodes n LEFT JOIN (
-            SELECT e.dst AS node, SUM(r.rank / o.outdeg * 0.85) AS s
-            FROM edges e JOIN outdeg o ON e.src = o.src JOIN r{cur} r ON r.node = e.src
-            GROUP BY e.dst) i USING (node))"""
-    base = repr(1.0 - C.PR_DECAY)  # 0.15000000000000002, same float both engines
-    iters = ",\n        ".join(
-        iter_tpl.format(cur=i, next=i + 1, base=base) for i in range(3)
-    )
+    iters = _pagerank_iters_sql(3)
+    base = _PR_BASE  # C.PR_DECAY == 0.85, same float both engines
     k1, b = C.BM25_K1, C.BM25_B
     terms_sql = ",".join(f"'{t}'" for t in BM25_TERMS)
     blend = (
@@ -1209,7 +1210,13 @@ def q_id_collision_resolve(spark, sf_dir):
         .withColumn("sid", F.col("sid0"))
     )
     resolved, _n = resolve_id_collisions(d, key_cols=("k",), id_col="sid")
-    assert resolved.groupBy("sid").count().where("count > 1").count() == 0
+    # eager by design (the only registry entry that runs a job at plan
+    # time): the resolver itself collects the collision set, and the
+    # injectivity of the remapped ids must be checked in-Spark because
+    # the oracle cannot see the xxhash64 values. Explicit raise, not
+    # assert — python -O must not silence the check.
+    if resolved.groupBy("sid").count().where("count > 1").count() != 0:
+        raise AssertionError("resolve_id_collisions left duplicate ids")
     return resolved.select(
         "doc_id",
         F.col("sid0").alias("small_id"),

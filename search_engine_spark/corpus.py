@@ -279,16 +279,18 @@ def resolve_id_collisions(
             .distinct()
             .collect()
         }
-        # (a) uniqueness within the candidate set: first-by-key-order wins
-        seen_round: set[int] = set()
+        # (a) uniqueness across the WHOLE candidate set — both this
+        # round's and ids finalized in earlier rounds (the corpus probe
+        # only covers original ids): first-by-key-order wins
+        assigned = {t[-1] for t in final}
         nxt = []
         for r in sorted(cands, key=lambda r: tuple(r[c] for c in key_cols)):
             key = tuple(r[c] for c in key_cols)
             nid = r["__new_id"]
-            if nid in taken or nid in seen_round:
+            if nid in taken or nid in assigned:
                 nxt.append((key, r["salt"] + 1))
             else:
-                seen_round.add(nid)
+                assigned.add(nid)
                 final.append((*key, nid))
         pending = nxt
     if pending:

@@ -170,9 +170,9 @@ def _tune_scan_granularity(spark, corpus: DataFrame) -> str | None:
     ragged waves on 16, which alone costs ~15% N→4N scaling efficiency.
     Scale-aware: bytes/(cores×3) clamped to [4m, 128m], so a 100 TB input
     on a 1000-executor cluster lands back on Spark's 128m default and
-    small local runs get fine-grained, core-saturating splits. Returns
-    the tuned value (caller restores the old conf), or None when the
-    input is not a plain file scan."""
+    small local runs get fine-grained, core-saturating splits. PURE
+    computation — returns the value for the caller to pin via
+    _scan_conf, or None when the input is not a plain file scan."""
     try:
         files = corpus.inputFiles()
     except Exception:
@@ -188,9 +188,7 @@ def _tune_scan_granularity(spark, corpus: DataFrame) -> str | None:
         return None
     par = spark.sparkContext.defaultParallelism
     target = min(max(total // (par * 3), 4 << 20), 128 << 20)
-    tuned = str(int(target))
-    spark.conf.set("spark.sql.files.maxPartitionBytes", tuned)
-    return tuned
+    return str(int(target))
 
 
 class IndexSink:
@@ -245,21 +243,19 @@ class IndexSink:
         if on_id_collision not in ("fail", "resolve"):
             raise ValueError(f"on_id_collision: {on_id_collision!r}")
         spark = corpus.sparkSession
-        old_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes", None)
         tuned = _tune_scan_granularity(spark, corpus)
-        try:
+        if tuned is None:
             return self._build_inner(
                 corpus, buckets_per_wave, fail_after_waves, n_shards, url_cols,
                 on_id_collision,
             )
-        finally:
-            if tuned is not None:
-                if old_mpb is not None:
-                    spark.conf.set("spark.sql.files.maxPartitionBytes", old_mpb)
-                else:
-                    # no prior explicit value: unset instead of leaking the
-                    # tuned split size into the caller's session
-                    spark.conf.unset("spark.sql.files.maxPartitionBytes")
+        # one save/restore/unset implementation: the same _scan_conf the
+        # read-back paths use, so the tuned split size can never leak
+        with _scan_conf(spark, tuned):
+            return self._build_inner(
+                corpus, buckets_per_wave, fail_after_waves, n_shards, url_cols,
+                on_id_collision,
+            )
 
     def _build_inner(
         self,

@@ -53,7 +53,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ..corpus import CORPUS_SCHEMA, with_doc_id
-from ..index import doc_postings, doc_stats
+from ..index import doc_postings
 from ..tokenize import tokenize
 
 EVENTS_SCHEMA = (
@@ -151,40 +151,55 @@ def incremental_index_stream(
         # anti-joins the already-committed ids. A CHANGED doc (same
         # repo/path, new commit) gets a NEW doc_id; the stale version is
         # masked by read_live_* and retired by compact_store.
-        ids = with_doc_id(batch_df).dropDuplicates(["doc_id"])
-        sig = ids.agg(
-            F.count("*").alias("n"), F.bit_xor(F.xxhash64("doc_id")).alias("x")
-        ).collect()[0]
-        n_docs = int(sig["n"])
-        # 'c' prefix keeps partition-value type inference firmly string
-        token = f"c{n_docs}-{(int(sig['x'] or 0)) & (2**64 - 1):016x}"
-        committed = committed_commits(store_dir)
-        if token in committed:
-            return  # same doc set already fully committed (replay) — no-op
-        seen_src = _read_committed(spark, store_dir, "docmap")
-        if seen_src is not None:
-            ids = ids.join(seen_src.select("doc_id"), "doc_id", "left_anti")
-        seq = max(committed.values(), default=-1) + 1
-        toks = tokenize(ids)
-        # each table writes into ITS OWN commit partition with overwrite:
-        # a replay of a crashed attempt (same data ⇒ same token) rewrites
-        # the partial files instead of appending next to them
-        doc_postings(toks).write.mode("overwrite").parquet(
-            f"{store_dir}/postings/commit_id={token}"
-        )
-        doc_stats(toks).write.mode("overwrite").parquet(
-            f"{store_dir}/dstats/commit_id={token}"
-        )
-        # docmap: the tiny (repo, path, commit, doc_id, seq) ledger that
-        # makes upsert-by-path resolvable at read time (live_doc_ids) and
-        # compactable offline (compact_store) — LSM merge-on-read. seq is
-        # the monotonic ingest clock (max committed + 1 at commit time;
-        # the stream is the single writer).
-        ids.select("repo", "path", "commit", "doc_id").withColumn(
-            "seq", F.lit(seq)
-        ).write.mode("overwrite").parquet(f"{store_dir}/docmap/commit_id={token}")
-        # the commit point: only now does the batch become readable
-        _mark_committed(store_dir, token, seq, n_docs)
+        # persist the id'd batch: four consumers follow (signature agg,
+        # anti-join, tokenize, docmap write) — without the cache each one
+        # re-scans and re-hashes the batch source (micro-batch-sized, so
+        # the cache is cheap; the sink's no-token-cache rule is about the
+        # FULL-corpus stream, not a batch)
+        ids = with_doc_id(batch_df).dropDuplicates(["doc_id"]).persist()
+        posted = None
+        try:
+            sig = ids.agg(
+                F.count("*").alias("n"), F.bit_xor(F.xxhash64("doc_id")).alias("x")
+            ).collect()[0]
+            n_docs = int(sig["n"])
+            # 'c' prefix keeps partition-value type inference firmly string
+            token = f"c{n_docs}-{(int(sig['x'] or 0)) & (2**64 - 1):016x}"
+            committed = committed_commits(store_dir)
+            if token in committed:
+                return  # same doc set already fully committed (replay) — no-op
+            seen_src = _read_committed(spark, store_dir, "docmap")
+            fresh = ids
+            if seen_src is not None:
+                fresh = ids.join(seen_src.select("doc_id"), "doc_id", "left_anti")
+            seq = max(committed.values(), default=-1) + 1
+            # ONE tokenize pass: dstats (doclen = Σtf) derives from the
+            # persisted aggregated postings, exactly doc_stats semantics
+            posted = doc_postings(tokenize(fresh)).persist()
+            # each table writes into ITS OWN commit partition with overwrite:
+            # a replay of a crashed attempt (same data ⇒ same token) rewrites
+            # the partial files instead of appending next to them
+            posted.write.mode("overwrite").parquet(
+                f"{store_dir}/postings/commit_id={token}"
+            )
+            posted.groupBy("doc_id").agg(
+                F.sum("tf").cast("int").alias("doclen")
+            ).write.mode("overwrite").parquet(f"{store_dir}/dstats/commit_id={token}")
+            # docmap: the tiny (repo, path, commit, doc_id, seq) ledger that
+            # makes upsert-by-path resolvable at read time (live_doc_ids) and
+            # re-delivery of ANY previously ingested version detectable
+            # (the anti-join above) — LSM merge-on-read. seq is the
+            # monotonic ingest clock (max committed + 1 at commit time;
+            # the stream is the single writer).
+            fresh.select("repo", "path", "commit", "doc_id").withColumn(
+                "seq", F.lit(seq)
+            ).write.mode("overwrite").parquet(f"{store_dir}/docmap/commit_id={token}")
+            # the commit point: only now does the batch become readable
+            _mark_committed(store_dir, token, seq, n_docs)
+        finally:
+            ids.unpersist()
+            if posted is not None:
+                posted.unpersist()
 
     return (
         stream.writeStream.foreachBatch(process_batch)
@@ -220,19 +235,29 @@ def live_doc_ids(spark: SparkSession, store_dir: str) -> DataFrame:
     )
 
 
+_POSTINGS_SCHEMA = (
+    "doc_id long, term string, tf int, positions array<int>, commit_id string"
+)
+_DSTATS_SCHEMA = "doc_id long, doclen int, commit_id string"
+
+
 def read_live_postings(spark: SparkSession, store_dir: str) -> DataFrame:
     """Postings with uncommitted partitions filtered out and superseded
     document versions masked (merge-on-read): a doc_id-keyed left-semi
     join against :func:`live_doc_ids`. One shuffle on doc_id; AQE
     broadcasts the live-id side when it is small relative to the
-    postings scan."""
-    live = live_doc_ids(spark, store_dir)
-    return _read_committed(spark, store_dir, "postings").join(live, "doc_id", "left_semi")
+    postings scan. An empty/brand-new store reads as an empty frame."""
+    tbl = _read_committed(spark, store_dir, "postings")
+    if tbl is None:
+        return spark.createDataFrame([], _POSTINGS_SCHEMA)
+    return tbl.join(live_doc_ids(spark, store_dir), "doc_id", "left_semi")
 
 
 def read_live_dstats(spark: SparkSession, store_dir: str) -> DataFrame:
-    live = live_doc_ids(spark, store_dir)
-    return _read_committed(spark, store_dir, "dstats").join(live, "doc_id", "left_semi")
+    tbl = _read_committed(spark, store_dir, "dstats")
+    if tbl is None:
+        return spark.createDataFrame([], _DSTATS_SCHEMA)
+    return tbl.join(live_doc_ids(spark, store_dir), "doc_id", "left_semi")
 
 
 def _recover_compaction(src: str) -> None:
@@ -271,9 +296,10 @@ def _swap_in(src: str, tmp: str) -> None:
 
 def compact_store(spark: SparkSession, store_dir: str) -> dict:
     """Offline compaction — the write-time half of the MERGE sink: rewrite
-    postings/dstats/docmap keeping only live doc versions from COMMITTED
-    batches, so read-time masking goes back to a no-op, dead bytes are
-    reclaimed, and uncommitted crash partials are garbage-collected.
+    postings/dstats keeping only live doc versions from COMMITTED
+    batches (docmap keeps its full committed version history — see the
+    loop comment), so read-time masking goes back to a no-op, dead bytes
+    are reclaimed, and uncommitted crash partials are garbage-collected.
     Standard LSM/Delta-style maintenance: run between stream triggers
     (the stream must be stopped, as with OPTIMIZE on a real lakehouse).
     The rewrite lands in ``*.tmp`` siblings first and swaps in via the
@@ -285,16 +311,29 @@ def compact_store(spark: SparkSession, store_dir: str) -> dict:
     were never readable)."""
     import os
 
+    # recover ALL tables before reading anything: live_doc_ids reads the
+    # docmap, and a previous compaction crashed mid-swap may have left
+    # docmap absent with its content in docmap.old — computing the live
+    # set first would see an EMPTY ledger and the rewrite below would
+    # erase the whole store
+    for name in ("postings", "dstats", "docmap"):
+        _recover_compaction(f"{store_dir}/{name}")
     live = live_doc_ids(spark, store_dir).cache()
     stats = {}
     for name in ("postings", "dstats", "docmap"):
         src = f"{store_dir}/{name}"
-        _recover_compaction(src)
         if not os.path.isdir(src):
             continue
         df = _read_committed(spark, store_dir, name)
         before = df.count()
-        kept = df.join(live, "doc_id", "left_semi")
+        # postings/dstats retire superseded versions; the docmap LEDGER
+        # keeps every committed version row — it is what detects a
+        # re-delivered SUPERSEDED version (process_batch's anti-join), and
+        # dropping its history would let a replayed old commit re-ingest
+        # with a fresh higher seq and mask the newer one. It is
+        # metadata-sized (one short row per ingested version); compaction
+        # still rewrites it to GC uncommitted partials.
+        kept = df if name == "docmap" else df.join(live, "doc_id", "left_semi")
         tmp = f"{src}.tmp"
         kept.write.mode("overwrite").partitionBy("commit_id").parquet(tmp)
         _swap_in(src, tmp)

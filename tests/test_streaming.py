@@ -127,10 +127,11 @@ def test_upsert_by_path_merge_on_read_and_compact(spark, tmp_path):
     assert live_rows == key(expected.collect())
     assert read_live_dstats(spark, store).count() == 60
 
-    # compaction: raw store shrinks to exactly the live rows
+    # compaction: postings/dstats shrink to exactly the live rows; the
+    # docmap LEDGER keeps its full version history (it is what detects a
+    # re-delivered superseded version)
     stats = compact_store(spark, store)
-    assert stats["docmap"]["rows_before"] == 80
-    assert stats["docmap"]["rows_after"] == 60
+    assert stats["docmap"]["rows_before"] == stats["docmap"]["rows_after"] == 80
     raw_rows = key(
         spark.read.parquet(f"{store}/postings").select("doc_id", "term", "tf", "positions").collect()
     )
@@ -139,6 +140,26 @@ def test_upsert_by_path_merge_on_read_and_compact(spark, tmp_path):
     assert key(
         read_live_postings(spark, store).select("doc_id", "term", "tf", "positions").collect()
     ) == live_rows
+
+    # a re-delivered SUPERSEDED version after compaction must NOT win:
+    # v1 rows of the changed paths arrive again in a mixed batch (plus a
+    # brand-new doc so the whole-batch token skip can't fire). The ledger
+    # still knows v1's doc_ids, so only the new doc ingests and v2 stays
+    # live.
+    extra = generate_corpus(spark, 61).join(
+        v1.select("repo", "path", "commit"), ["repo", "path", "commit"], "left_anti"
+    )
+    redelivered = v1.join(changed.select("repo", "path"), ["repo", "path"], "left_semi")
+    redelivered.unionByName(extra).coalesce(1).write.mode("append").parquet(corpus_dir)
+    q = incremental_index_stream(spark, corpus_dir, store, str(tmp_path / "ck1"))
+    _await(q)
+    assert live_doc_ids(spark, store).count() == 61
+    # the changed paths still serve v2: no replayed-v1 doc_id is live
+    v1_changed_ids = {
+        r["doc_id"] for r in with_doc_id(redelivered).select("doc_id").collect()
+    }
+    live_now = {r["doc_id"] for r in live_doc_ids(spark, store).collect()}
+    assert not (v1_changed_ids & live_now)
     v1.unpersist()
     changed.unpersist()
 
@@ -214,7 +235,37 @@ def test_compaction_crash_recovery(spark, tmp_path):
     assert not os.path.isdir(f"{src}.tmp")
     assert stats["postings"]["rows_after"] == n_live
     assert read_live_postings(spark, store).count() == n_live
+
+    # the DOCMAP swap-crash is the dangerous one: live_doc_ids reads the
+    # docmap, so recovery must run BEFORE the live set is computed — a
+    # compaction that read an absent ledger would see zero live docs and
+    # rewrite the whole store to empty
+    dm = f"{store}/docmap"
+    os.rename(dm, f"{dm}.old")
+    stats = compact_store(spark, store)
+    assert os.path.isdir(dm) and not os.path.isdir(f"{dm}.old")
+    assert stats["postings"]["rows_after"] == n_live  # NOT wiped
+    assert read_live_postings(spark, store).count() == n_live
     docs.unpersist()
+
+
+def test_read_paths_on_empty_store(spark, tmp_path):
+    """A brand-new (or never-committed) store reads as empty frames with
+    the right schema, not AttributeError on None."""
+    from search_engine_spark.streaming import (
+        live_doc_ids,
+        read_live_dstats,
+        read_live_postings,
+    )
+
+    store = str(tmp_path / "store")  # does not even exist on disk
+    assert live_doc_ids(spark, store).count() == 0
+    p = read_live_postings(spark, store)
+    assert p.count() == 0
+    assert set(p.columns) == {"doc_id", "term", "tf", "positions", "commit_id"}
+    d = read_live_dstats(spark, store)
+    assert d.count() == 0
+    assert set(d.columns) == {"doc_id", "doclen", "commit_id"}
 
 
 @pytest.fixture(scope="module")
