@@ -471,6 +471,36 @@ def q_bm25_topk(spark, sf_dir):
     return top.select("doc_id", F.round("score", 6).alias("score"))
 
 
+# Batch-path fixed query set. Every term is a Porter fixpoint
+# (stem(t) == t) so the raw-token DuckDB oracle and normalize_query's
+# stemmed terms coincide; "the of" is all-stopwords and exercises the
+# STOPWORD_PENALTY weight (Search.java:90-96 analog) through the batch
+# scorer AND the SQL twin.
+BM25_BATCH_QUERIES = {"q_pair": "join scan", "q_one": "hash", "q_stop": "the of"}
+
+
+def q_bm25_batch(spark, sf_dir):
+    """Whole-query-set BM25 (query.bm25_topk_batch): ONE index scan +
+    ONE job scores every query; per-query results are bit-identical to
+    the single-query block path (tests/test_sink.py batch identity).
+    Blocks are built in-memory via build_block_index — the same encoder
+    the sink uses — so the driver row covers encode → block-max prune →
+    batch scorer end-to-end against plain SQL."""
+    from search_engine_spark.index import build_block_index
+    from search_engine_spark.query import bm25_topk_batch
+
+    toks = _doc_tokens(spark, sf_dir)
+    postings = doc_postings(toks)
+    dstats = doc_stats(toks)
+    tstats = term_stats(postings)
+    N, avgdl = corpus_stats(dstats)
+    blocks = build_block_index(postings, dstats, avgdl)
+    out = bm25_topk_batch(blocks, tstats, N, avgdl, dict(BM25_BATCH_QUERIES), k=C.TOP_K)
+    return out.select(
+        "query_id", "doc_id", F.round("score", 6).alias("score"), F.col("rank").cast("long").alias("rank")
+    )
+
+
 # ---------------------------------------------------------------------------
 # generic dataflow operators (SURVEY.md §2.1) over the TPC-H-ish tables
 
@@ -1416,6 +1446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_strip_tokens": q_html_strip_tokens,
         "doc_id_collisions": q_doc_id_collisions,
         "id_collision_resolve": q_id_collision_resolve,
+        "bm25_batch": q_bm25_batch,
         # -- core engine path --
         "tokenize_postings": q_tokenize_postings,
         "flatmap_tokens": q_flatmap_tokens,
@@ -1448,8 +1479,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "token_counts": q_token_counts,
         "unigram_ppl": q_unigram_ppl,
-        "fingerprints": q_fingerprints,
         # ---- 50-entry driver window ends here ----
+        "fingerprints": q_fingerprints,  # driver-green in r1 AND r2
         "multimodal_features": q_multimodal_features,  # driver-green in r2
         "frame_plan": q_frame_plan,
         "foldbykey_agg": q_foldbykey_agg,
@@ -1498,6 +1529,37 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, ROUND(SUM(w), 6) AS score FROM scored
             GROUP BY doc_id ORDER BY SUM(w) DESC, doc_id ASC LIMIT {C.TOP_K}
+        """,
+        # batch path: same BM25 arithmetic, one (query_id, term, weight)
+        # lattice; q_stop carries the STOPWORD_PENALTY weight and its
+        # absent term ('of') drops out of the postings join exactly as the
+        # batch scorer skips terms missing from tstats
+        "bm25_batch": f"""
+            WITH {_POSTINGS_CTE},
+            dstats AS (SELECT doc_id, count(*)::DOUBLE AS doclen FROM toks GROUP BY doc_id),
+            cstats AS (SELECT count(*)::DOUBLE AS n, avg(doclen) AS avgdl FROM dstats),
+            tstats AS (SELECT term, count(*)::DOUBLE AS df FROM postings GROUP BY term),
+            qt(query_id, term, weight) AS (VALUES
+              ('q_pair', 'join', 1.0), ('q_pair', 'scan', 1.0),
+              ('q_one', 'hash', 1.0),
+              ('q_stop', 'the', {C.STOPWORD_PENALTY}), ('q_stop', 'of', {C.STOPWORD_PENALTY})),
+            scored AS (
+              SELECT qt.query_id, p.doc_id,
+                     ln(1.0 + (c.n - t.df + 0.5) / (t.df + 0.5))
+                       * (p.tf * ({k1} + 1.0))
+                       / (p.tf + {k1} * (1.0 - {b} + {b} * d.doclen / c.avgdl))
+                       * qt.weight AS w
+              FROM qt JOIN postings p ON p.term = qt.term
+              JOIN dstats d USING (doc_id) JOIN tstats t ON t.term = p.term
+              CROSS JOIN cstats c
+            ),
+            agg AS (SELECT query_id, doc_id, SUM(w) AS s FROM scored GROUP BY 1, 2),
+            ranked AS (SELECT query_id, doc_id, s,
+                              ROW_NUMBER() OVER (PARTITION BY query_id
+                                                 ORDER BY s DESC, doc_id ASC) AS rank
+                       FROM agg)
+            SELECT query_id, doc_id, ROUND(s, 6) AS score, rank::BIGINT AS rank
+            FROM ranked WHERE rank <= {C.TOP_K}
         """,
         "foldbykey_agg": """
             SELECT l_returnflag, l_linestatus,

@@ -322,3 +322,91 @@ def bm25_topk_blocks(
         schema="doc_id long, score double",
     )
     return shard_topk.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def bm25_topk_batch(
+    index_df: DataFrame,
+    tstats: DataFrame,
+    N: int,
+    avgdl: float,
+    queries: dict[str, str],
+    k: int = C.TOP_K,
+) -> DataFrame:
+    """The WHOLE query set in ONE job: (query_id, doc_id, score, rank).
+
+    The reference serves one query per request (Search.java handles a
+    single ?q=); a Spark engine evaluating a reference-style query SET
+    (offline eval, A/B reruns, relevance regression suites) should not
+    pay one index scan + one job per query. This path:
+
+    * normalizes every query driver-side, collects ONE tstats lookup for
+      the union of all terms (one small collect instead of |Q|);
+    * scans the block index ONCE, filtered to the union of terms (the
+      caller can additionally bucket-prune via sink.blocks_for_terms on
+      that union), positions projected away as in the single-query path;
+    * scores every query inside the same per-shard applyInPandas — each
+      query reuses the UNCHANGED single-query scorer closure on the
+      shard's frame (terms outside its set are skipped by the scorer),
+      so per-query arithmetic is BIT-IDENTICAL to bm25_topk_blocks;
+    * one final tiny shuffle on query_id ranks the per-shard candidates
+      (≤ |shards|·k rows per query, never corpus-sized).
+
+    Queries that normalize to nothing (or whose terms are absent from
+    the index) contribute zero rows, matching the single-query path's
+    empty frame.
+    """
+    spark = index_df.sparkSession
+    out_schema = "query_id string, doc_id long, score double"
+    norm: dict[str, tuple[list[str], float]] = {
+        qid: normalize_query(q) for qid, q in queries.items()
+    }
+    all_terms = sorted({t for terms, _ in norm.values() for t in terms})
+    if not all_terms:
+        return spark.createDataFrame([], out_schema + ", rank int")
+    dfs = {
+        r["term"]: int(r["df"])
+        for r in tstats.where(F.col("term").isin(all_terms)).collect()
+    }
+    per_query = {}
+    for qid, (terms, weight) in norm.items():
+        idf_by_term = {t: bm25_idf(N, dfs[t]) for t in terms if t in dfs}
+        if idf_by_term:
+            per_query[qid] = (idf_by_term, weight)
+    if not per_query:
+        return spark.createDataFrame([], out_schema + ", rank int")
+    live_terms = sorted({t for idf, _ in per_query.values() for t in idf})
+
+    scorers = {
+        qid: _score_shard_factory(idf, weight, k, float(avgdl))
+        for qid, (idf, weight) in per_query.items()
+    }
+
+    def score_shard_all(pdf: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for qid in sorted(scorers):
+            res = scorers[qid](pdf)
+            if len(res):
+                res.insert(0, "query_id", qid)
+                outs.append(res)
+        if not outs:
+            return pd.DataFrame(
+                {
+                    "query_id": pd.Series(dtype="object"),
+                    "doc_id": pd.Series(dtype="int64"),
+                    "score": pd.Series(dtype="float64"),
+                }
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    idx = index_df.where(F.col("term").isin(live_terms)).select(
+        "term", "shard", "block_id", "doc_bytes", "tf_bytes", "dl_bytes", "uf_bytes", "max_wtf"
+    )
+    shard_topk = idx.groupBy("shard").applyInPandas(score_shard_all, schema=out_schema)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        shard_topk.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "doc_id", "score", "rank")
+    )

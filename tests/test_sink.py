@@ -259,6 +259,37 @@ def test_sink_index_rank_identity(spark, raw_corpus, built):
         assert got == expected, f"sink index diverges from oracle for {q!r}"
 
 
+def test_batch_query_bit_identical_to_per_query(spark, built):
+    """bm25_topk_batch (whole query set, ONE job) must be bit-identical —
+    docs, float64 scores, ranks — to looping bm25_topk_blocks, including
+    the all-stopword and absent-term edge queries."""
+    from search_engine_spark.query import bm25_topk_batch
+
+    sink, root = built
+    blocks, tstats, dstats, meta = sink.read(spark)
+    N, avgdl = meta["N"], meta["avgdl"]
+    qs = {
+        "q0": "import",
+        "q1": "def return",
+        "q2": "src mod1 file3",
+        "q3": "the of and",  # all stopwords → STOPWORD_PENALTY path
+        "q4": "zzzmissing",  # absent term → zero rows
+        "q5": "",  # normalizes to nothing → zero rows
+    }
+    batch = bm25_topk_batch(blocks, tstats, N, avgdl, qs, k=50).collect()
+    got = {}
+    for r in batch:
+        got.setdefault(r["query_id"], []).append((r["rank"], r["doc_id"], r["score"]))
+    for qid in got:
+        got[qid].sort()
+    for qid, q in qs.items():
+        expected = [
+            (i + 1, r["doc_id"], r["score"])
+            for i, r in enumerate(bm25_topk_blocks(blocks, tstats, N, avgdl, q, k=50).collect())
+        ]
+        assert got.get(qid, []) == expected, f"batch diverges for {qid}={q!r}"
+
+
 def test_search_results_assembly(spark, built):
     """Result assembly (Search.java:325-345): ranked ids join back to the
     docs side table; output is rank-ordered and carries repo/path/lang."""
