@@ -478,6 +478,25 @@ def q_bm25_topk(spark, sf_dir):
 # scorer AND the SQL twin.
 BM25_BATCH_QUERIES = {"q_pair": "join scan", "q_one": "hash", "q_stop": "the of"}
 
+# Brute-force cosine top-k twin, shared by embedding_topk and the
+# full-probe IVF entry (n_probe == n_clusters probes every inverted
+# list, so IVF output is EXACTLY brute force whatever the quantizer did)
+_BRUTE_COSINE_SQL = """
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+    q AS (SELECT vec_id AS query_id, vec AS qvec FROM v ORDER BY vec_id LIMIT 5),
+    scored AS (
+      SELECT q.query_id, v.vec_id,
+             list_dot_product(v.vec, q.qvec)
+               / (sqrt(list_dot_product(v.vec, v.vec)) * sqrt(list_dot_product(q.qvec, q.qvec)))
+               AS cosine
+      FROM v CROSS JOIN q)
+    SELECT query_id, vec_id, ROUND(cosine, 6) AS cosine, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, vec_id ASC)::BIGINT AS rank
+      FROM scored)
+    WHERE rank <= 10
+"""
+
 
 def q_bm25_batch(spark, sf_dir):
     """Whole-query-set BM25 (query.bm25_topk_batch): ONE index scan +
@@ -807,6 +826,21 @@ def q_ann_ivf_topk(spark, sf_dir):
 
     emb = _read(spark, sf_dir, "embeddings")
     return ivf_cosine_topk(emb, _query_vecs(emb), k=10, n_clusters=8, n_probe=4)
+
+
+def q_ann_ivf_fullprobe(spark, sf_dir):
+    """IVF with n_probe == n_clusters: every inverted list is probed, so
+    the output is EXACTLY brute-force cosine top-k regardless of where
+    the k-means quantizer placed the centroids — which makes the IVF
+    machinery (assignment matmul, probe broadcast, list equi-join,
+    rescoring, per-query top-k) SQL-oracle-able even though the
+    quantizer itself is iterative. The pytest identity
+    (tests/test_ops.py full-probe == cosine_topk) pins the same fact
+    engine-side; this entry makes it driver-visible."""
+    from search_engine_spark.ops.similarity import ivf_cosine_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return ivf_cosine_topk(emb, _query_vecs(emb), k=10, n_clusters=8, n_probe=8)
 
 
 # training-mixture spec for the stratified-sample entry (per-lang keep
@@ -1447,9 +1481,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_id_collisions": q_doc_id_collisions,
         "id_collision_resolve": q_id_collision_resolve,
         "bm25_batch": q_bm25_batch,
+        "ann_ivf_fullprobe": q_ann_ivf_fullprobe,
         # -- core engine path --
         "tokenize_postings": q_tokenize_postings,
-        "flatmap_tokens": q_flatmap_tokens,
         "doc_stats": q_doc_stats,
         "term_stats": q_term_stats,
         "bm25_topk": q_bm25_topk,
@@ -1480,6 +1514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "unigram_ppl": q_unigram_ppl,
         # ---- 50-entry driver window ends here ----
+        "flatmap_tokens": q_flatmap_tokens,  # driver-green in r1 AND r2
         "fingerprints": q_fingerprints,  # driver-green in r1 AND r2
         "multimodal_features": q_multimodal_features,  # driver-green in r2
         "frame_plan": q_frame_plan,
@@ -1798,21 +1833,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b, bit_count(xor(sa, sb))::INT AS hamming
             FROM cand WHERE bit_count(xor(sa, sb)) <= 3
         """,
-        "embedding_topk": """
-            WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
-            q AS (SELECT vec_id AS query_id, vec AS qvec FROM v ORDER BY vec_id LIMIT 5),
-            scored AS (
-              SELECT q.query_id, v.vec_id,
-                     list_dot_product(v.vec, q.qvec)
-                       / (sqrt(list_dot_product(v.vec, v.vec)) * sqrt(list_dot_product(q.qvec, q.qvec)))
-                       AS cosine
-              FROM v CROSS JOIN q)
-            SELECT query_id, vec_id, ROUND(cosine, 6) AS cosine, rank FROM (
-              SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-                                           ORDER BY cosine DESC, vec_id ASC)::BIGINT AS rank
-              FROM scored)
-            WHERE rank <= 10
-        """,
+        # full-probe IVF ≡ brute force (every inverted list probed), so
+        # the ANN entry shares the exact brute-force twin below
+        "ann_ivf_fullprobe": _BRUTE_COSINE_SQL,
+        "embedding_topk": _BRUTE_COSINE_SQL,
         "stratified_sample": f"""
             SELECT doc_id, lang FROM documents
             WHERE CAST(('0x' || substr(md5('s0|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
