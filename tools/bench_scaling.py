@@ -49,6 +49,14 @@ EXEC_CORES = int(os.environ.get("SPARK_GRAFT_EXECUTOR_CORES", "4"))
 # invocations per session.
 SCALING_NDOCS = int(os.environ.get("SPARK_GRAFT_SCALING_NDOCS", "800000"))
 
+# Scaling-run scratch root: same tmpfs topology as session.py's default,
+# different path, so reclaiming it between levels never races another
+# live session's spark.local.dir. SPARK_GRAFT_LOCAL_DIR still overrides
+# (e.g. to force the shared-disk protocol variant).
+_SCRATCH = os.environ.get("SPARK_GRAFT_LOCAL_DIR") or (
+    "/dev/shm/spark_graft_scaling" if os.path.isdir("/dev/shm") else None
+)
+
 
 def _cpu_sample() -> tuple[int, int]:
     """(steal_ticks, total_ticks) from /proc/stat — the sandbox is a VM
@@ -82,8 +90,15 @@ def run_level(level: int, sf_dir: str, runs: int = 1, local: bool = False) -> di
         # the baseline is unfairly fast.
         n_cores = level if local else level * EXEC_CORES
         # a killed run can leak executor scratch into tmpfs; reclaim
-        # before each level so RAM stays bounded
-        shutil.rmtree("/dev/shm/spark_graft_local", ignore_errors=True)
+        # before each level so RAM stays bounded. The scaling runs get
+        # their OWN scratch root (never session.py's default
+        # /dev/shm/spark_graft_local) so this rmtree can't yank the
+        # local dir out from under a concurrent session — e.g. a pytest
+        # run on other cores while a campaign measures (observed: mass
+        # FileNotFoundError/executor-death across an unrelated suite).
+        if _SCRATCH:
+            env["SPARK_GRAFT_LOCAL_DIR"] = _SCRATCH
+            shutil.rmtree(_SCRATCH, ignore_errors=True)
         cmd = [sys.executable, os.path.join(REPO, "bench.py")]
         if shutil.which("taskset"):
             cmd = ["taskset", "-c", f"0-{n_cores - 1}"] + cmd
@@ -143,7 +158,7 @@ def main() -> None:
         # /dev/shm exists), None = the shared single virtio disk that
         # serialized all executors' shuffle+spill in earlier entries.
         # Pools must not mix the two.
-        "scratch": "tmpfs" if os.path.isdir("/dev/shm") and not os.environ.get("SPARK_GRAFT_LOCAL_DIR") else os.environ.get("SPARK_GRAFT_LOCAL_DIR"),
+        "scratch": "tmpfs" if _SCRATCH and _SCRATCH.startswith("/dev/shm/") else _SCRATCH,
     }
     with open(hist_path, "a") as f:
         f.write(json.dumps({**key, "load0": load0, "lo": lo, "hi": hi}) + "\n")
