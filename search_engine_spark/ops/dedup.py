@@ -649,10 +649,16 @@ def dup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b") -> Da
     for _ in range(50):  # ≥ log²(2^63) rounds; never binding in practice
         nxt = star(star(e, large=True), large=False).localCheckpoint(eager=True)
         nxt_sig = _sig(nxt)  # the ONLY action per convergence check
-        e = nxt
-        if nxt_sig == sig:
+        # backstop on the CLAIMED convergence only: a ~2⁻⁶⁴ xor-collision
+        # (or an adversarial input — xxhash64 is non-cryptographic) could
+        # otherwise end the loop early and emit wrong clusters silently.
+        # Counts already match (sig includes n) and both sides are
+        # distinct sets, so one-sided subtract-emptiness ⇔ set equality.
+        # Cost: one subtract job per dup_clusters CALL, never per round.
+        if nxt_sig == sig and nxt.subtract(e).isEmpty():
+            e = nxt
             break
-        sig = nxt_sig
+        e, sig = nxt, nxt_sig
 
     comp = e.groupBy("u").agg(F.min("v").alias("cluster_id"))
     comp = comp.union(

@@ -139,7 +139,20 @@ def incremental_index_stream(
     """Start (and return) the incremental indexing query — the streaming
     upgrade of the reference's crawl_old skip-probe (Indexer.java:213-229)
     with the per-batch atomic commit protocol described in the module
-    docstring."""
+    docstring.
+
+    DEPLOYMENT REQUIREMENT (applies to the whole store, not just
+    compaction): the marker-file commit protocol relies on POSIX
+    single-filesystem semantics — atomic ``os.replace`` for the commit
+    point, immediately-consistent directory listings for
+    :func:`committed_commits`, and atomic directory rename pairs for
+    :func:`compact_store`'s swap. ``store_dir`` must therefore live on
+    one POSIX filesystem reachable from the driver (NFS/Lustre on a
+    cluster is fine). On an object store (S3/GCS: no atomic rename,
+    eventually-consistent listings) substitute a transactional table
+    format or metastore for the marker set — Delta/Iceberg commit logs
+    are the standard cluster replacement; the batch token/seq protocol
+    itself is unchanged."""
     stream = read_corpus_stream(spark, corpus_dir)
 
     def process_batch(batch_df: DataFrame, _batch_id: int) -> None:
@@ -335,7 +348,18 @@ def compact_store(spark: SparkSession, store_dir: str) -> dict:
         # still rewrites it to GC uncommitted partials.
         kept = df if name == "docmap" else df.join(live, "doc_id", "left_semi")
         tmp = f"{src}.tmp"
-        kept.write.mode("overwrite").partitionBy("commit_id").parquet(tmp)
+        n_kept = kept.count()
+        if n_kept == 0:
+            # dynamic partitionBy on an EMPTY frame writes a dir with no
+            # data files — unreadable by schema inference after the swap
+            # discarded the original. Write one schema-bearing empty part
+            # instead (commit_id becomes a regular column; read paths
+            # filter on it identically either way).
+            kept.repartition(1).write.mode("overwrite").parquet(tmp)
+        else:
+            kept.write.mode("overwrite").partitionBy("commit_id").parquet(tmp)
+        # prove the rewrite is readable BEFORE the swap discards src
+        assert spark.read.parquet(tmp).count() == n_kept
         _swap_in(src, tmp)
         stats[name] = {
             "rows_before": before,

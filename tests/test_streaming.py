@@ -249,6 +249,52 @@ def test_compaction_crash_recovery(spark, tmp_path):
     docs.unpersist()
 
 
+def test_compaction_with_empty_live_set(spark, tmp_path):
+    """Every live doc version tokenizes to NOTHING (v2 of each path has
+    empty content) → the compacted postings/dstats rewrite is an EMPTY
+    table. The rewrite must stay readable (schema-bearing part file, not
+    a data-less partitionBy dir) and the store must survive further
+    reads and compactions — regression gate for the empty-kept swap bug
+    (round-3 advice)."""
+    from search_engine_spark.streaming import (
+        compact_store,
+        read_live_dstats,
+        read_live_postings,
+    )
+
+    corpus_dir = str(tmp_path / "in")
+    store = str(tmp_path / "store")
+    os.makedirs(corpus_dir)
+    v1 = generate_corpus(spark, 12).cache()
+    v1.coalesce(1).write.mode("append").parquet(corpus_dir)
+    q = incremental_index_stream(spark, corpus_dir, store, str(tmp_path / "ck"))
+    _await(q)
+
+    # v2 of EVERY path: empty content → zero postings, zero dstats rows
+    v2 = v1.withColumn("commit", F.concat(F.lit("v2-"), "commit")).withColumn(
+        "content", F.lit("")
+    )
+    v2.coalesce(1).write.mode("append").parquet(corpus_dir)
+    q = incremental_index_stream(spark, corpus_dir, store, str(tmp_path / "ck"))
+    _await(q)
+    assert read_live_postings(spark, store).count() == 0
+
+    stats = compact_store(spark, store)
+    assert stats["postings"]["rows_after"] == 0
+    assert stats["dstats"]["rows_after"] == 0
+    # the original data was discarded and the store still READS — both
+    # through the committed filter and as a raw parquet dir
+    assert spark.read.parquet(f"{store}/postings").count() == 0
+    assert read_live_postings(spark, store).count() == 0
+    assert read_live_dstats(spark, store).count() == 0
+    # docmap keeps full committed history (24 version rows), and a
+    # second compaction over the emptied store is a clean no-op
+    assert stats["docmap"]["rows_after"] == 24
+    stats2 = compact_store(spark, store)
+    assert stats2["postings"]["rows_after"] == 0
+    v1.unpersist()
+
+
 def test_read_paths_on_empty_store(spark, tmp_path):
     """A brand-new (or never-committed) store reads as empty frames with
     the right schema, not AttributeError on None."""

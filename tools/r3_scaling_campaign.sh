@@ -15,8 +15,12 @@ export SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1
 EV=/root/repo/.evlog_r3
 rm -rf "$EV"; mkdir -p "$EV"
 echo "== phase 1: event-logged C=4 pair (400k) =="
+# isolated scratch root (same rule as tools/bench_scaling.py): reclaiming
+# it between runs must never yank the default /dev/shm/spark_graft_local
+# out from under a concurrent session's executors
+export SPARK_GRAFT_LOCAL_DIR=${SPARK_GRAFT_LOCAL_DIR:-/dev/shm/spark_graft_scaling}
 for L in 1 4; do
-  rm -rf /dev/shm/spark_graft_local
+  rm -rf "$SPARK_GRAFT_LOCAL_DIR"
   SPARK_GRAFT_EVENTLOG=$EV SPARK_GRAFT_NDOCS=400000 \
   SPARK_GRAFT_EXECUTORS=$L SPARK_GRAFT_EXECUTOR_CORES=4 \
   taskset -c 0-$((4 * L - 1)) python bench.py \
