@@ -55,6 +55,23 @@ def sf_of(sf_dir: str) -> str:
     return base.replace("sf", "") if base.startswith("sf") else "0.1"
 
 
+def _cpu_sample() -> tuple[int, int]:
+    """(steal_ticks, total_ticks) from /proc/stat — same probe as
+    tools/bench_scaling.py. The sandbox is a VM on a shared physical
+    host: hypervisor steal plus the 1-min load average are the only
+    visible co-tenant signatures, and round-3's unattributable ±14%
+    swing (VERDICT r3) is exactly what they exist to attribute. Recorded
+    per invocation so BENCH_r{N}.json deltas can be read against host
+    contention instead of guessed."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()[1:]
+        v = [int(x) for x in parts]
+        return (v[7] if len(v) > 7 else 0), sum(v)
+    except OSError:
+        return 0, 1
+
+
 def ensure_corpus(spark, sf: str, n_docs: int, data_dir: str) -> str:
     default = N_DOCS_BY_SF.get(sf) == n_docs
     name = f"corpus_sf{sf}.parquet" if default else f"corpus_sf{sf}_n{n_docs}.parquet"
@@ -115,6 +132,8 @@ def main() -> None:
     warmup(spark, corpus_path, data_dir)
 
     timings: dict[str, float] = {}
+    load0 = os.getloadavg()[0]
+    steal0, total0 = _cpu_sample()
 
     # --- index build: corpus parquet → committed block index + manifest ---
     index_path = os.path.join(data_dir, f"bench_index_sf{sf}")
@@ -148,24 +167,39 @@ def main() -> None:
         bm25_topk_blocks(idx, tstats, N, avgdl, q, k=C.TOP_K).collect()
         timings[name] = time.perf_counter() - t0
 
-    # --- batch path: the SAME query set as ONE job (query.bm25_topk_batch)
-    # — the offline-eval shape; amortizes scan/job overhead across queries
+    # --- batch path: the FULL 25-query reference set as ONE job
+    # (query.bm25_topk_batch) — the offline-eval shape the batch path
+    # exists for; amortizes the index scan / job overhead across |Q|=25
+    # instead of the 3-query token set round 3 measured (VERDICT r3
+    # item 4). For comparison, the same set is also run as 25 serial
+    # single-query jobs — the per-query amortization claim is
+    # q_batch_ref25 / q_serial_ref25, printed as batch_speedup.
+    from search_engine_spark.corpus import reference_queries
     from search_engine_spark.query import bm25_topk_batch
 
+    ref_qs = {f"q{qid:02d}": q for qid, q in reference_queries()}
     t0 = time.perf_counter()
     all_terms = sorted(
-        {t for q in BENCH_QUERIES.values() for t in normalize_query(q)[0]}
+        {t for q in ref_qs.values() for t in normalize_query(q)[0]}
     )
     bm25_topk_batch(
         sink.blocks_for_terms(spark, all_terms), tstats, N, avgdl,
-        dict(BENCH_QUERIES), k=C.TOP_K,
+        ref_qs, k=C.TOP_K,
     ).collect()
-    timings["q_batch_all"] = time.perf_counter() - t0
+    timings["q_batch_ref25"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for q in ref_qs.values():
+        terms, _w = normalize_query(q)
+        idx = sink.blocks_for_terms(spark, terms) if terms else blocks
+        bm25_topk_blocks(idx, tstats, N, avgdl, q, k=C.TOP_K).collect()
+    timings["q_serial_ref25"] = time.perf_counter() - t0
 
-    # q_batch_all re-measures the same 5 queries through the batch path —
-    # keep it out of the headline total so `value` stays comparable with
+    # the ref25 entries re-measure queries through the batch path — keep
+    # them out of the headline total so `value` stays comparable with
     # earlier rounds' build+5-sequential-queries composition
-    total = sum(v for n, v in timings.items() if n != "q_batch_all")
+    steal1, total1 = _cpu_sample()
+    extra = {"q_batch_ref25", "q_serial_ref25"}
+    total = sum(v for n, v in timings.items() if n not in extra)
     print(
         json.dumps(
             {
@@ -179,6 +213,14 @@ def main() -> None:
                 "executors": executors,
                 "files_per_sec": round(files_per_sec, 1),
                 "phases": build_phases,
+                "n_batch_queries": len(ref_qs),
+                "batch_speedup": round(
+                    timings["q_serial_ref25"] / timings["q_batch_ref25"], 2
+                ),
+                "load0": round(load0, 2),
+                "steal_pct": round(
+                    100.0 * (steal1 - steal0) / max(total1 - total0, 1), 2
+                ),
             }
         )
     )

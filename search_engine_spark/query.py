@@ -218,10 +218,34 @@ def _score_shard_factory(idf_by_term: dict[str, float], weight: float, k: int, a
     bound → threshold s_k; (3) survivors = docs with ub ≥ s_k; exact-score
     survivors only (tf/dl streams decoded only for blocks that still
     matter). Exactness: a pruned doc has true score ≤ ub < s_k ≤ kth best.
+
+    ``score_shard(pdf, cache)``: every stream decode goes through
+    ``cache`` keyed (stream, term, block_id) — (term, block_id) is unique
+    within a shard frame. applyInPandas calls with pdf only (fresh cache
+    per shard: within ONE query, the survivor rescore reuses the seed
+    pass's tf/dl decodes). bm25_topk_batch passes a shared per-shard
+    cache so |Q| queries decode each block's streams ONCE instead of
+    once per query (round-3 verdict: the |Q|× re-decode eroded the batch
+    path's scan-amortization claim at eval-suite width). Decoded arrays
+    are read-only; arithmetic is unchanged expression-for-expression, so
+    per-query results stay bit-identical to the uncached path.
     """
     k1, b = C.BM25_K1, C.BM25_B
 
-    def score_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+    # NOTE: the applyInPandas-facing callable must stay SINGLE-argument —
+    # PySpark dispatches on arity and would pass the group key as a first
+    # positional arg to a two-parameter function. The cache-taking variant
+    # is exposed as ``score_shard.with_cache`` for bm25_topk_batch, which
+    # calls it directly (plain Python, not through applyInPandas).
+    def _score(pdf: pd.DataFrame, cache: dict) -> pd.DataFrame:
+        def f64(stream: str, t: str, bid: int, blob) -> np.ndarray:
+            key = (stream, t, bid)
+            a = cache.get(key)
+            if a is None:
+                a = varbyte_decode(blob).astype(np.float64)
+                cache[key] = a
+            return a
+
         terms = sorted(idf_by_term)
         per_term: dict[str, list] = {}
         doc_arrays, ub_arrays = [], []
@@ -231,9 +255,13 @@ def _score_shard_factory(idf_by_term: dict[str, float], weight: float, k: int, a
                 continue
             decoded = []
             for _, r in blocks.iterrows():
-                dids = decode_doc_ids(r["doc_bytes"])
+                bid = int(r["block_id"])
+                dids = cache.get(("d", t, bid))
+                if dids is None:
+                    dids = decode_doc_ids(r["doc_bytes"])
+                    cache[("d", t, bid)] = dids
                 decoded.append(
-                    (dids, r["tf_bytes"], r["dl_bytes"], r["uf_bytes"], float(r["max_wtf"]))
+                    (bid, dids, r["tf_bytes"], r["dl_bytes"], r["uf_bytes"], float(r["max_wtf"]))
                 )
                 doc_arrays.append(dids)
                 ub_arrays.append(
@@ -255,17 +283,15 @@ def _score_shard_factory(idf_by_term: dict[str, float], weight: float, k: int, a
                 if t not in per_term:
                     continue
                 idf = idf_by_term[t]
-                for dids, tf_b, dl_b, uf_b, _mw in per_term[t]:
+                for bid, dids, tf_b, dl_b, uf_b, _mw in per_term[t]:
                     sel = np.searchsorted(doc_set, dids)
                     sel_ok = (sel < doc_set.size) & (doc_set[np.minimum(sel, doc_set.size - 1)] == dids)
                     if not sel_ok.any():
                         continue
-                    dls = varbyte_decode(dl_b).astype(np.float64)
+                    dls = f64("l", t, bid, dl_b)
                     # tf_eff = tf + URL_BONUS·uf (Search.java:98); uf=0 →
                     # tf + 0.0 == tf bit-exactly
-                    tfs = varbyte_decode(tf_b).astype(np.float64) + C.URL_BONUS * varbyte_decode(
-                        uf_b
-                    ).astype(np.float64)
+                    tfs = f64("t", t, bid, tf_b) + C.URL_BONUS * f64("u", t, bid, uf_b)
                     # CANONICAL BM25 float64 expression — must match
                     # bm25_topk_df and oracle.py token-for-token for
                     # bit-exact rank identity:
@@ -287,6 +313,10 @@ def _score_shard_factory(idf_by_term: dict[str, float], weight: float, k: int, a
         order = np.lexsort((cand, -cand_scores))[:k]
         return pd.DataFrame({"doc_id": cand[order], "score": cand_scores[order]})
 
+    def score_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _score(pdf, {})
+
+    score_shard.with_cache = _score
     return score_shard
 
 
@@ -345,9 +375,14 @@ def bm25_topk_batch(
       caller can additionally bucket-prune via sink.blocks_for_terms on
       that union), positions projected away as in the single-query path;
     * scores every query inside the same per-shard applyInPandas — each
-      query reuses the UNCHANGED single-query scorer closure on the
+      query runs the UNCHANGED single-query scorer closure on the
       shard's frame (terms outside its set are skipped by the scorer),
-      so per-query arithmetic is BIT-IDENTICAL to bm25_topk_blocks;
+      so per-query arithmetic is BIT-IDENTICAL to bm25_topk_blocks; the
+      closures share ONE per-shard decode cache, so each block's
+      doc/tf/dl/uf streams are varbyte-decoded exactly once per shard no
+      matter how many queries touch the term (per-query decode cost →
+      per-BLOCK decode cost; the scan-amortization claim survives
+      |Q|≈10³ eval suites);
     * one final tiny shuffle on query_id ranks the per-shard candidates
       (≤ |shards|·k rows per query, never corpus-sized).
 
@@ -382,9 +417,10 @@ def bm25_topk_batch(
     }
 
     def score_shard_all(pdf: pd.DataFrame) -> pd.DataFrame:
+        cache: dict = {}  # (stream, term, block_id) → decoded array, shared by all queries
         outs = []
         for qid in sorted(scorers):
-            res = scorers[qid](pdf)
+            res = scorers[qid].with_cache(pdf, cache)
             if len(res):
                 res.insert(0, "query_id", qid)
                 outs.append(res)
