@@ -1163,8 +1163,15 @@ def q_search_results(spark, sf_dir):
     # result assembly (Search.java:325-345): ranked ids join back to the
     # source table for display columns — including the title/snippet
     # analog (Search.java:329-337 pulls the page title from the crawl
-    # table; a code corpus has no <title>, so the preview is the first
-    # 120 chars of content). Broadcast the tiny ranked side.
+    # table; a code corpus has no <title>, so the preview is a HIT-
+    # ANCHORED snippet, round-4 upgrade of round 3's first-120-chars:
+    # the window starts at the doc's FIRST match position over the query
+    # terms — exactly the information the block index keeps in pos_bytes
+    # (this DataFrame twin reads it from the postings' positions arrays,
+    # the uncompressed form of the same stream) — and spans 20 tokens of
+    # the document's token stream. Window reconstruction touches only
+    # the 25 ranked docs (broadcast semi-join before the token scan);
+    # the ranked side stays broadcast throughout.
     toks = _doc_tokens(spark, sf_dir)
     postings = doc_postings(toks)
     dstats = doc_stats(toks)
@@ -1173,11 +1180,39 @@ def q_search_results(spark, sf_dir):
     top = bm25_score_terms(postings, dstats, tstats, N, avgdl, BM25_TERMS, 1.0, 25)
     w = W.orderBy(F.desc("score"), F.asc("doc_id"))
     ranked = top.withColumn("rank", F.row_number().over(w).cast("long"))
-    d = _read(spark, sf_dir, "documents").select(
-        "doc_id", "source", "lang", F.substring("text", 1, 120).alias("preview")
+    # first hit position per ranked doc, straight from the postings'
+    # positions arrays (block-index analog: first value of pos_bytes)
+    hits = (
+        postings.where(F.col("term").isin(BM25_TERMS))
+        .join(F.broadcast(ranked.select("doc_id")), "doc_id", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.min(F.array_min("positions")).alias("hit_pos"))
     )
-    return d.join(F.broadcast(ranked), "doc_id").select(
-        "rank", "doc_id", F.round("score", 6).alias("score"), "source", "lang", "preview"
+    # 20-token window of the token stream starting at the hit
+    preview = (
+        toks.join(F.broadcast(hits), "doc_id")
+        .where(
+            (F.col("pos") >= F.col("hit_pos"))
+            & (F.col("pos") < F.col("hit_pos") + 20)
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "term"))),
+                    lambda x: x["term"],
+                ),
+                " ",
+            ).alias("preview")
+        )
+    )
+    d = _read(spark, sf_dir, "documents").select("doc_id", "source", "lang")
+    return (
+        d.join(F.broadcast(ranked), "doc_id")
+        .join(F.broadcast(preview), "doc_id")
+        .select(
+            "rank", "doc_id", F.round("score", 6).alias("score"), "source", "lang", "preview"
+        )
     )
 
 
@@ -2072,10 +2107,20 @@ def oracle_sql() -> dict[str, str]:
                      ROW_NUMBER() OVER (ORDER BY SUM(w) DESC, doc_id ASC)::BIGINT AS rank
               FROM scored GROUP BY doc_id
               ORDER BY s DESC, doc_id ASC LIMIT 25
+            ),
+            hits AS (
+              SELECT t.doc_id, MIN(t.pos) AS hit_pos FROM toks t
+              JOIN ranked USING (doc_id)
+              WHERE t.term IN ({terms_sql}) GROUP BY t.doc_id
+            ),
+            prev AS (
+              SELECT t.doc_id, string_agg(t.term, ' ' ORDER BY t.pos) AS preview
+              FROM toks t JOIN hits h USING (doc_id)
+              WHERE t.pos >= h.hit_pos AND t.pos < h.hit_pos + 20
+              GROUP BY t.doc_id
             )
-            SELECT r.rank, r.doc_id, ROUND(r.s, 6) AS score, d.source, d.lang,
-                   substr(d.text, 1, 120) AS preview
-            FROM ranked r JOIN documents d USING (doc_id)
+            SELECT r.rank, r.doc_id, ROUND(r.s, 6) AS score, d.source, d.lang, p.preview
+            FROM ranked r JOIN documents d USING (doc_id) JOIN prev p USING (doc_id)
         """,
         "url_index": """
             SELECT term, COUNT(*)::BIGINT AS n_docs,

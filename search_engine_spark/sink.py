@@ -558,14 +558,35 @@ class IndexSink:
         column) written at build time for result assembly."""
         return spark.read.parquet(os.path.join(self.root, "docs"))
 
-    def search_results(self, spark: SparkSession, query: str, k: int = C.TOP_K) -> DataFrame:
+    def search_results(
+        self,
+        spark: SparkSession,
+        query: str,
+        k: int = C.TOP_K,
+        corpus: DataFrame | None = None,
+        preview_tokens: int = 20,
+    ) -> DataFrame:
         """End-to-end search with RESULT ASSEMBLY: BM25 top-k over the
         bucket-pruned block index, then the ranked (doc_id, score) rows
         join back to the docs side table — the reference's final join of
         ranked ids to the crawl table for url/title (Search.java:325-345).
         The join is k rows vs the docs table: broadcast the TINY ranked
-        side, never shuffle the metadata table."""
+        side, never shuffle the metadata table.
+
+        ``corpus`` (optional, the raw input table) adds a ``preview``
+        column: a ``preview_tokens``-token window of the document's token
+        stream starting at the doc's FIRST match position over the query
+        terms — the Search.java:329-337 snippet analog, anchored on the
+        hit instead of the page head. The index keeps this information
+        in pos_bytes; re-deriving it from the k result docs' content is
+        the cheaper physical plan (re-tokenize touches only k documents
+        vs decoding position streams for every candidate block), and it
+        anchors on the CONTENT token stream — for URL-injected indexes
+        pos_bytes positions are offset by the doc's url-token count, and
+        a display snippet wants the content hit, not the url echo. Cost:
+        one broadcast-semi-joined scan of the corpus projecting k rows."""
         from .query import bm25_topk_blocks, normalize_query
+        from .tokenize import tokenize
 
         blocks, tstats, _dstats, meta = self.read(spark)
         terms, _w = normalize_query(query)
@@ -573,11 +594,45 @@ class IndexSink:
         topk = bm25_topk_blocks(idx, tstats, meta["N"], meta["avgdl"], query, k)
         w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
         ranked = topk.withColumn("rank", F.row_number().over(w))
-        return (
-            self.docs(spark)
-            .join(F.broadcast(ranked), "doc_id")
-            .orderBy("rank")
-        )
+        out = self.docs(spark).join(F.broadcast(ranked), "doc_id")
+        if corpus is not None and terms:
+            # tokenize ONLY the k result docs (broadcast semi-join prunes
+            # the scan); stems must match the index's term space, so the
+            # match test runs on the stemmed token
+            from .tokenize import stem_vocab
+
+            hit_docs = with_doc_id(corpus).join(
+                F.broadcast(ranked.select("doc_id")), "doc_id", "left_semi"
+            )
+            toks = tokenize(hit_docs)
+            vocab = stem_vocab(toks)
+            stoks = toks.join(F.broadcast(vocab), "term").select(
+                "doc_id", "term", "stem", "pos"
+            )
+            hit = (
+                stoks.where(F.col("stem").isin(terms) | F.col("term").isin(terms))
+                .groupBy("doc_id")
+                .agg(F.min("pos").alias("hit_pos"))
+            )
+            preview = (
+                stoks.join(F.broadcast(hit), "doc_id")
+                .where(
+                    (F.col("pos") >= F.col("hit_pos"))
+                    & (F.col("pos") < F.col("hit_pos") + preview_tokens)
+                )
+                .groupBy("doc_id")
+                .agg(
+                    F.array_join(
+                        F.transform(
+                            F.array_sort(F.collect_list(F.struct("pos", "term"))),
+                            lambda x: x["term"],
+                        ),
+                        " ",
+                    ).alias("preview")
+                )
+            )
+            out = out.join(F.broadcast(preview), "doc_id", "left")
+        return out.orderBy("rank")
 
     def blocks_for_terms(self, spark: SparkSession, terms: list[str]) -> DataFrame:
         """Partition-pruned scan: only the buckets owning ``terms`` are read

@@ -303,6 +303,50 @@ def test_search_results_assembly(spark, built):
         assert r["repo"] and r["path"] and r["lang"] and r["commit"]
 
 
+def test_search_results_hit_anchored_preview(spark, raw_corpus, built):
+    """With the corpus supplied, search_results adds a preview: a
+    20-token window of the CONTENT token stream starting at the doc's
+    first match position (Search.java:329-337 snippet analog). The
+    window must start at a token whose stem (or raw form) is a query
+    term, and reproduce the document's own token sequence."""
+    import re
+
+    from search_engine_spark import constants as C
+    from search_engine_spark.query import normalize_query
+    from search_engine_spark.stemmer import porter_stem
+
+    sink, root = built
+    query = "import def"
+    terms, _w = normalize_query(query)
+    res = sink.search_results(spark, query, k=10, corpus=raw_corpus).collect()
+    assert res
+    rows = {
+        (r["repo"], r["path"], r["commit"]): r["preview"]
+        for r in res
+    }
+    src = {
+        (d["repo"], d["path"], d["commit"]): d["content"]
+        for d in raw_corpus.collect()
+    }
+    split = re.compile(C.TOKEN_SPLIT_RE)
+    for key, preview in rows.items():
+        toks = [
+            t
+            for t in split.split(src[key].lower()[: C.MAX_PAGE_LEN])
+            if t and len(t) <= C.MAX_WORD_LEN and t not in C.SKIP_WORDS
+        ]
+        ptoks = preview.split(" ")
+        # first preview token is a hit, window is the doc's own stream
+        first = ptoks[0]
+        assert porter_stem(first) in terms or first in terms
+        start = toks.index(first)
+        # the hit is the FIRST match in the doc
+        assert all(
+            porter_stem(t) not in terms and t not in terms for t in toks[:start]
+        )
+        assert toks[start : start + 20] == ptoks
+
+
 def test_url_token_searchable(spark, built):
     """URL injection (Indexer.java:236-238): a pure path token (the
     filename stem) retrieves its doc from the PRIMARY index."""

@@ -1,0 +1,17 @@
+#!/bin/bash
+# Round-4 scaling campaign (VERDICT r3 item 5): the missing 2x-data pool.
+# 800k docs at C=2 (the headline protocol's favorable topology: 2 vs 8
+# busy cores, well under the socket bandwidth ceiling) to n>=6 pairs.
+# Each bench_scaling.py invocation appends ONE paired (N, 4N) entry to
+# BENCH/history.jsonl and rewrites BENCH/BASELINE.md pool tables.
+set -u
+cd /root/repo
+export SPARK_GRAFT_EXECUTOR_CORES=2
+export SPARK_GRAFT_SCALING_NDOCS=800000
+N_PAIRS=${1:-6}
+for i in $(seq 1 "$N_PAIRS"); do
+  echo "== pair $i/$N_PAIRS ($(date -u +%H:%M:%S)) load=$(cut -d' ' -f1 /proc/loadavg) =="
+  python tools/bench_scaling.py /root/testdata/sf0.1 --runs=1 \
+    || echo "pair $i FAILED (continuing)"
+done
+echo "campaign done $(date -u +%H:%M:%S)"
