@@ -211,7 +211,13 @@ def blend_with_pagerank(
     )
 
 
-def _score_shard_factory(idf_by_term: dict[str, float], weight: float, k: int, avgdl: float):
+def _score_shard_factory(
+    idf_by_term: dict[str, float],
+    weight: float,
+    k: int,
+    avgdl: float,
+    wtf_scale: float = 1.0,
+):
     """Returns the per-shard scorer for applyInPandas. Block-max pruning:
     (1) decode doc-id streams only; per-doc upper bound = Σ_t idf_t ·
     max_wtf(block containing doc); (2) exact-score the top-k docs by upper
@@ -264,8 +270,20 @@ def _score_shard_factory(idf_by_term: dict[str, float], weight: float, k: int, a
                     (bid, dids, r["tf_bytes"], r["dl_bytes"], r["uf_bytes"], float(r["max_wtf"]))
                 )
                 doc_arrays.append(dids)
+                # wtf_scale: stored max_wtf was computed under the index's
+                # ENCODED avgdl; after an incremental compaction the live
+                # corpus avgdl may be larger, which raises every true wtf.
+                # sup over (tf, dl) of wtf(avgdl_now)/wtf(avgdl_enc) is
+                # avgdl_now/avgdl_enc (attained as dl→∞), so scaling the
+                # stored bound by max(1, that ratio) keeps pruning SAFE —
+                # exactness of results is unaffected (survivors are exact-
+                # rescored); only bound tightness degrades, by ≤ the avgdl
+                # drift since the last full encode.
                 ub_arrays.append(
-                    np.full(dids.size, idf_by_term[t] * float(r["max_wtf"]) * weight)
+                    np.full(
+                        dids.size,
+                        idf_by_term[t] * float(r["max_wtf"]) * weight * wtf_scale,
+                    )
                 )
             per_term[t] = decoded
         if not doc_arrays:
@@ -327,6 +345,7 @@ def bm25_topk_blocks(
     avgdl: float,
     query: str,
     k: int = C.TOP_K,
+    wtf_scale: float = 1.0,
 ) -> DataFrame:
     terms, weight = normalize_query(query)
     spark = index_df.sparkSession
@@ -348,7 +367,7 @@ def bm25_topk_blocks(
         "term", "shard", "block_id", "doc_bytes", "tf_bytes", "dl_bytes", "uf_bytes", "max_wtf"
     )
     shard_topk = idx.groupBy("shard").applyInPandas(
-        _score_shard_factory(idf_by_term, weight, k, float(avgdl)),
+        _score_shard_factory(idf_by_term, weight, k, float(avgdl), float(wtf_scale)),
         schema="doc_id long, score double",
     )
     return shard_topk.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
@@ -361,6 +380,7 @@ def bm25_topk_batch(
     avgdl: float,
     queries: dict[str, str],
     k: int = C.TOP_K,
+    wtf_scale: float = 1.0,
 ) -> DataFrame:
     """The WHOLE query set in ONE job: (query_id, doc_id, score, rank).
 
@@ -412,7 +432,7 @@ def bm25_topk_batch(
     live_terms = sorted({t for idf, _ in per_query.values() for t in idf})
 
     scorers = {
-        qid: _score_shard_factory(idf, weight, k, float(avgdl))
+        qid: _score_shard_factory(idf, weight, k, float(avgdl), float(wtf_scale))
         for qid, (idf, weight) in per_query.items()
     }
 

@@ -73,6 +73,18 @@ def with_bucket(df: DataFrame, n_buckets: int, term_col: str = "term") -> DataFr
     )
 
 
+def wtf_scale_of(meta: dict) -> float:
+    """Safe block-bound scale for an index whose corpus stats have drifted
+    from the avgdl its max_wtf bounds were encoded with (incremental
+    compaction advances N/avgdl without re-encoding untouched buckets).
+    1.0 for any index whose encoded avgdl still matches — i.e. every
+    fresh build."""
+    enc = float(meta.get("encoded_avgdl", meta["avgdl"]) or 0.0)
+    if enc <= 0.0:
+        return 1.0
+    return max(1.0, float(meta["avgdl"]) / enc)
+
+
 def _manifest_path(root: str, bucket: int) -> str:
     return os.path.join(root, "_manifest", f"bucket_{bucket:05d}.json")
 
@@ -516,9 +528,24 @@ class IndexSink:
             )
             tstats.write.mode("overwrite").parquet(os.path.join(self.root, "tstats"))
         phase_t["side_tables"] = time.perf_counter() - t0
+        # encoded_avgdl: the avgdl the BLOCK BOUNDS (max_wtf) were computed
+        # with. A fresh/resumed build encodes with the current corpus avgdl;
+        # compact_into_index re-encodes touched buckets with this SAME value
+        # (so untouched buckets stay byte-stable) while N/avgdl advance to
+        # the post-compaction corpus — the query path then scales bounds by
+        # max(1, avgdl/encoded_avgdl) (query._score_shard_factory). When no
+        # bucket was (re)built this run, an existing value is preserved.
+        enc_avgdl = avgdl
+        if not pending:
+            try:
+                with open(os.path.join(self.root, "meta.json")) as f:
+                    enc_avgdl = float(json.load(f).get("encoded_avgdl", avgdl))
+            except (OSError, ValueError):
+                pass
         meta = {
             "N": N,
             "avgdl": avgdl,
+            "encoded_avgdl": enc_avgdl,
             "n_buckets": self.n_buckets,
             "n_shards": n_shards,
             "bm25_k1": C.BM25_K1,
@@ -591,7 +618,10 @@ class IndexSink:
         blocks, tstats, _dstats, meta = self.read(spark)
         terms, _w = normalize_query(query)
         idx = self.blocks_for_terms(spark, terms) if terms else blocks
-        topk = bm25_topk_blocks(idx, tstats, meta["N"], meta["avgdl"], query, k)
+        topk = bm25_topk_blocks(
+            idx, tstats, meta["N"], meta["avgdl"], query, k,
+            wtf_scale=wtf_scale_of(meta),
+        )
         w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
         ranked = topk.withColumn("rank", F.row_number().over(w))
         out = self.docs(spark).join(F.broadcast(ranked), "doc_id")

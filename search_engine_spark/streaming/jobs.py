@@ -198,13 +198,16 @@ def incremental_index_stream(
             posted.groupBy("doc_id").agg(
                 F.sum("tf").cast("int").alias("doclen")
             ).write.mode("overwrite").parquet(f"{store_dir}/dstats/commit_id={token}")
-            # docmap: the tiny (repo, path, commit, doc_id, seq) ledger that
-            # makes upsert-by-path resolvable at read time (live_doc_ids) and
-            # re-delivery of ANY previously ingested version detectable
-            # (the anti-join above) — LSM merge-on-read. seq is the
-            # monotonic ingest clock (max committed + 1 at commit time;
+            # docmap: the tiny content-free ledger (every input column except
+            # content/content_sha, so repo/path/commit plus passthrough
+            # metadata like lang) that makes upsert-by-path resolvable at
+            # read time (live_doc_ids), re-delivery of ANY previously
+            # ingested version detectable (the anti-join above), and the
+            # docs side table reconstructible when compact_into_index folds
+            # the batch into the block index — LSM merge-on-read. seq is
+            # the monotonic ingest clock (max committed + 1 at commit time;
             # the stream is the single writer).
-            fresh.select("repo", "path", "commit", "doc_id").withColumn(
+            fresh.drop("content", "content_sha").withColumn(
                 "seq", F.lit(seq)
             ).write.mode("overwrite").parquet(f"{store_dir}/docmap/commit_id={token}")
             # the commit point: only now does the batch become readable
@@ -263,6 +266,7 @@ def read_live_postings(spark: SparkSession, store_dir: str) -> DataFrame:
     tbl = _read_committed(spark, store_dir, "postings")
     if tbl is None:
         return spark.createDataFrame([], _POSTINGS_SCHEMA)
+    tbl = _drop_folded(tbl, store_dir)
     return tbl.join(live_doc_ids(spark, store_dir), "doc_id", "left_semi")
 
 
@@ -270,7 +274,377 @@ def read_live_dstats(spark: SparkSession, store_dir: str) -> DataFrame:
     tbl = _read_committed(spark, store_dir, "dstats")
     if tbl is None:
         return spark.createDataFrame([], _DSTATS_SCHEMA)
+    tbl = _drop_folded(tbl, store_dir)
     return tbl.join(live_doc_ids(spark, store_dir), "doc_id", "left_semi")
+
+
+def _folded_dir(store_dir: str) -> str:
+    return f"{store_dir}/_folded"
+
+
+def folded_commits(store_dir: str) -> set[str]:
+    """Commit tokens already folded into the block index by
+    :func:`compact_into_index`. Their docs are served by the index, so
+    live-store reads exclude them; the docmap ledger keeps their rows
+    (upsert resolution and re-delivery detection still need history)."""
+    import os
+
+    d = _folded_dir(store_dir)
+    if not os.path.isdir(d):
+        return set()
+    return {f for f in os.listdir(d) if not f.startswith(".")}
+
+
+def _mark_folded(store_dir: str, tokens: list[str]) -> None:
+    import os
+
+    d = _folded_dir(store_dir)
+    os.makedirs(d, exist_ok=True)
+    for t in tokens:
+        with open(os.path.join(d, t), "w"):
+            pass
+
+
+def _drop_folded(tbl: DataFrame, store_dir: str) -> DataFrame:
+    folded = sorted(folded_commits(store_dir))
+    if not folded:
+        return tbl
+    return tbl.where(~F.col("commit_id").isin(folded))
+
+
+_DECODED_POSTINGS_SCHEMA = (
+    "term string, doc_id long, tf int, doclen int, uf int, positions array<int>"
+)
+
+
+def decode_block_postings(blocks: DataFrame) -> DataFrame:
+    """Inverse of the block encoder: encoded block rows → one posting row
+    per (term, doc). The codec is lossless (delta-varbyte streams carry
+    exact doc_id/tf/doclen/uf/positions), so re-encoding the output under
+    the same avgdl reproduces the input blocks byte-for-byte — that is
+    what lets :func:`compact_into_index` rebuild ONLY touched buckets
+    without the original corpus. Runs as mapInPandas over block rows
+    (coarse units: one row ≈ up to BLOCK_SIZE postings), numpy decode per
+    stream, one concat per Arrow batch — no per-posting Python."""
+    import numpy as np
+
+    from ..codec import decode_doc_ids, decode_positions, varbyte_decode
+
+    cols = [
+        "term", "block_id", "doc_bytes", "tf_bytes", "dl_bytes",
+        "uf_bytes", "pos_bytes", "plen_bytes",
+    ]
+
+    def decode(iterator: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in iterator:
+            terms, dids, tfs, dls, ufs, plists = [], [], [], [], [], []
+            for r in pdf.itertuples(index=False):
+                d = decode_doc_ids(r.doc_bytes)
+                n = d.size
+                dids.append(d)
+                terms.append(np.full(n, r.term, dtype=object))
+                tfs.append(varbyte_decode(r.tf_bytes).astype(np.int64))
+                dls.append(varbyte_decode(r.dl_bytes).astype(np.int64))
+                ufs.append(varbyte_decode(r.uf_bytes).astype(np.int64))
+                pos, plens = decode_positions(r.pos_bytes, r.plen_bytes)
+                pos = pos.astype(np.int64)
+                plists.extend(
+                    np.split(pos, np.cumsum(plens.astype(np.int64))[:-1])
+                )
+            if not dids:
+                continue
+            yield pd.DataFrame(
+                {
+                    "term": np.concatenate(terms),
+                    "doc_id": np.concatenate(dids).astype(np.int64),
+                    "tf": np.concatenate(tfs).astype(np.int32),
+                    "doclen": np.concatenate(dls).astype(np.int32),
+                    "uf": np.concatenate(ufs).astype(np.int32),
+                    "positions": pd.Series(plists, dtype=object),
+                }
+            )
+
+    return blocks.select(*cols).mapInPandas(decode, schema=_DECODED_POSTINGS_SCHEMA)
+
+
+def _recover_index_compaction(root: str) -> None:
+    """Make a block index whole after a crash mid bucket/docs swap: a
+    ``*.old`` sibling with its final dir missing is restored; with the
+    final dir present it is a discarded leftover. Stale _compact_tmp is
+    always a leftover (renames into place happen only after a full
+    write)."""
+    import os
+    import shutil
+
+    shutil.rmtree(os.path.join(root, "_compact_tmp"), ignore_errors=True)
+    for base in ("docs",):
+        old = os.path.join(root, base + ".old")
+        if os.path.isdir(old):
+            if os.path.isdir(os.path.join(root, base)):
+                shutil.rmtree(old)
+            else:
+                os.rename(old, os.path.join(root, base))
+    blocks_root = os.path.join(root, "blocks")
+    if not os.path.isdir(blocks_root):
+        return
+    for d in os.listdir(blocks_root):
+        if d.endswith(".old"):
+            final = os.path.join(blocks_root, d[:-4])
+            if os.path.isdir(final):
+                shutil.rmtree(os.path.join(blocks_root, d))
+            else:
+                os.rename(os.path.join(blocks_root, d), final)
+
+
+def _swap_dir(final: str, tmp_src: str | None) -> None:
+    """Replace ``final`` with ``tmp_src`` (or an empty dir) via the
+    rename pair _recover_index_compaction knows how to repair."""
+    import os
+    import shutil
+
+    old = final + ".old"
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.isdir(final):
+        os.rename(final, old)
+    if tmp_src is not None and os.path.isdir(tmp_src):
+        os.rename(tmp_src, final)
+    else:
+        os.makedirs(final, exist_ok=True)
+    shutil.rmtree(old, ignore_errors=True)
+
+
+def compact_into_index(
+    spark: SparkSession,
+    sink,
+    store_dir: str,
+    files_per_bucket: int = 8,
+) -> dict:
+    """Fold the streaming store's committed postings into the block-max
+    index — the reference's publish step (Indexer.java:287-294) upgraded
+    to an INCREMENTAL LSM merge: only buckets actually touched by new or
+    retired postings are re-encoded; every other bucket's files are not
+    read, not rewritten, byte-identical afterwards. Post-compaction the
+    folded docs are first-class citizens of the WAND query engine
+    (block-max pruning, bucket partition pruning) instead of merge-on-read
+    guests.
+
+    Scale shape (the 100 TB question): cost ∝ |touched buckets| ×
+    bucket size + |stream batch|, never corpus size. New-term buckets
+    come straight from the new postings; retired-doc buckets need one
+    doc-stream-only decode pass over blocks of the retired ids' shards
+    (1/n_shards of the index, tf/pos streams never read). The re-encode
+    reuses the build's exchange geometry ((bucket, shard%fpb) partitions,
+    partition-local sort, streaming Arrow encoder).
+
+    Stats handling: touched buckets are re-encoded with the index's
+    ORIGINAL ``encoded_avgdl`` so untouched buckets stay byte-stable,
+    while meta N/avgdl (and tstats df) advance to the post-compaction
+    corpus — queries score EXACTLY like a from-scratch rebuild (scoring
+    decodes true tf/doclen and uses current N/avgdl/df); only the stored
+    max_wtf bounds lag, which the query path covers with the safe
+    max(1, avgdl/encoded_avgdl) scale (query._score_shard_factory).
+
+    Idempotent/crash-safe on one POSIX filesystem (same deployment
+    requirement as the store protocol, see incremental_index_stream):
+    bucket and docs swaps are rename pairs repaired by
+    _recover_index_compaction; folded markers are written LAST, so a
+    crash replays the fold — re-delivered docs are dropped against the
+    updated docs table and already-retired ids retire to a no-op.
+
+    Returns {status, touched_buckets, n_new_docs, n_retired, folded}.
+    """
+    import json
+    import os
+    import shutil
+
+    from ..index import INDEX_SCHEMA, _encoder_stream, with_shard
+    from ..sink import _bucket_lineage, _manifest_path, _scan_conf, with_bucket
+    from ..tokenize import stem_vocab
+
+    root = sink.root
+    meta = json.load(open(os.path.join(root, "meta.json")))
+    if meta.get("url_cols"):
+        raise ValueError(
+            "compact_into_index supports url_cols=() indexes only: the "
+            "streaming ingest tokenizes content without URL injection, so "
+            "folding into a URL-channel index would mix term spaces. Build "
+            "with url_cols=None or extend the stream ingest first."
+        )
+    _recover_index_compaction(root)
+    committed = committed_commits(store_dir)
+    pending = sorted(set(committed) - folded_commits(store_dir))
+    if not pending:
+        return {"status": "noop", "touched_buckets": [], "n_new_docs": 0,
+                "n_retired": 0, "folded": []}
+
+    n_shards = int(meta["n_shards"])
+    n_buckets = int(meta["n_buckets"])
+    enc_avgdl = float(meta.get("encoded_avgdl", meta["avgdl"]))
+    docs_tbl = sink.docs(spark)
+    meta_cols = [c for c in docs_tbl.columns if c not in ("doc_id", "doclen")]
+
+    # live winners over the FULL docmap (folded history included: a doc
+    # folded earlier must still beat an older pending re-delivery), with
+    # their metadata rows for the docs-table update
+    from pyspark.sql.window import Window
+
+    dm = _read_committed(spark, store_dir, "docmap")
+    w = Window.partitionBy("repo", "path").orderBy(
+        F.desc("seq"), F.desc("commit"), F.desc("doc_id")
+    )
+    winners = dm.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1)
+    # fold set: winners from still-pending commits whose exact version is
+    # not already in the index (re-delivery of an indexed version → no-op)
+    new_docs = winners.where(F.col("commit_id").isin(pending)).join(
+        docs_tbl.select("doc_id"), "doc_id", "left_anti"
+    )
+    # retired: the index's version of a (repo, path) the stream superseded
+    retired = (
+        docs_tbl.alias("d")
+        .join(winners.alias("w"), ["repo", "path"])
+        .where(F.col("d.doc_id") != F.col("w.doc_id"))
+        .select(F.col("d.doc_id").alias("doc_id"))
+    )
+
+    new_p = read_live_postings(spark, store_dir).join(
+        F.broadcast(new_docs.select("doc_id")), "doc_id", "left_semi"
+    )
+    # posting-level stem channel, exactly the batch build's
+    # (sink._build_inner): vocab over the new postings only
+    vocab = stem_vocab(new_p).where(F.col("stem") != F.col("term"))
+    stemmed = new_p.join(F.broadcast(vocab), "term").select(
+        "doc_id", F.col("stem").alias("term"), "tf", "positions"
+    )
+    new_full = (
+        new_p.select("doc_id", "term", "tf", "positions")
+        .unionByName(stemmed)
+        .withColumn("uf", F.lit(0).cast("int"))
+    )
+    new_dl = read_live_dstats(spark, store_dir).join(
+        F.broadcast(new_docs.select("doc_id")), "doc_id", "left_semi"
+    ).select("doc_id", "doclen")
+
+    # touched buckets: new terms' buckets + buckets holding retired docs
+    touched = {
+        int(r["bucket"])
+        for r in with_bucket(new_full.select("term").distinct(), n_buckets)
+        .select("bucket").distinct().collect()
+    }
+    retired_ids = [int(r["doc_id"]) for r in retired.collect()]
+    blocks_root = os.path.join(root, "blocks")
+    blocks = spark.read.option("basePath", blocks_root).parquet(blocks_root)
+    if retired_ids:
+        shards = sorted({i % n_shards for i in retired_ids})
+        cand = blocks.where(F.col("shard").isin(shards))
+        hit_terms = (
+            decode_block_postings(cand)
+            .where(F.col("doc_id").isin(retired_ids))
+            .select("term").distinct()
+        )
+        touched |= {
+            int(r["bucket"])
+            for r in with_bucket(hit_terms, n_buckets)
+            .select("bucket").distinct().collect()
+        }
+    touched_l = sorted(touched)
+    n_new = new_docs.count()
+    if not touched_l and n_new == 0:
+        _mark_folded(store_dir, pending)
+        return {"status": "folded_empty", "touched_buckets": [],
+                "n_new_docs": 0, "n_retired": 0, "folded": pending}
+
+    # rebuild touched buckets: decoded survivors ∪ enriched new postings
+    # (touched_l can be empty with n_new > 0 when every folded doc is
+    # token-less — then only the docs table and N/avgdl change)
+    if touched_l:
+        old_p = decode_block_postings(
+            blocks.where(F.col("bucket").isin(touched_l))
+        ).join(retired, "doc_id", "left_anti")
+        new_enriched = new_full.join(F.broadcast(new_dl), "doc_id").select(
+            "term", "doc_id", F.col("tf").cast("int").alias("tf"),
+            F.col("doclen").cast("int").alias("doclen"), "uf", "positions",
+        )
+        merged = with_bucket(
+            with_shard(old_p.unionByName(new_enriched), n_shards), n_buckets
+        )
+        ordered = merged.repartition(
+            max(len(touched_l) * files_per_bucket, 8),
+            "bucket", F.pmod(F.col("shard"), files_per_bucket),
+        ).sortWithinPartitions("term", "shard", "doc_id")
+        encoded = ordered.mapInPandas(
+            _encoder_stream(enc_avgdl), schema=INDEX_SCHEMA
+        ).withColumn(
+            "bucket",
+            (F.crc32(F.encode(F.col("term"), "utf-8")) % n_buckets).cast("int"),
+        )
+        tmp = os.path.join(root, "_compact_tmp")
+        shutil.rmtree(tmp, ignore_errors=True)
+        encoded.write.partitionBy("bucket").mode("overwrite").parquet(tmp)
+        # explicit schema: an all-retired touched set writes zero part
+        # files and schema inference would fail on the bare directory
+        with _scan_conf(spark, str(128 << 20)):
+            stats = _bucket_lineage(
+                spark.read.schema(INDEX_SCHEMA + ", bucket int").parquet(tmp)
+            )
+
+    from ..sink import ENGINE_VERSION, _dir_bytes
+
+    for b in touched_l:
+        src = os.path.join(tmp, f"bucket={b}")
+        dst = os.path.join(blocks_root, f"bucket={b}")
+        _swap_dir(dst, src if os.path.isdir(src) else None)
+        entry = {
+            "bucket": b, "status": "committed", "wave": "compact",
+            "engine": ENGINE_VERSION, "payload_bytes": _dir_bytes(dst),
+            **stats.get(b, {"n_blocks": 0, "n_postings": 0,
+                            "n_terms": 0, "content_hash": 0}),
+        }
+        mp = _manifest_path(root, b)
+        with open(mp + ".tmp", "w") as f:
+            json.dump(entry, f)
+        os.replace(mp + ".tmp", mp)
+    if touched_l:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    # docs side table: retire superseded rows, add the folded docs (doclen
+    # 0 for token-less docs); rewrite via tmp + swap (can't overwrite a
+    # table being read)
+    docs_new = docs_tbl.join(retired, "doc_id", "left_anti").unionByName(
+        new_docs.join(new_dl, "doc_id", "left")
+        .withColumn("doclen", F.coalesce(F.col("doclen"), F.lit(0)).cast("int"))
+        .select("doc_id", *meta_cols, "doclen")
+    )
+    docs_tmp = os.path.join(root, "docs.tmp")
+    shutil.rmtree(docs_tmp, ignore_errors=True)
+    docs_new.write.parquet(docs_tmp)
+    _swap_dir(os.path.join(root, "docs"), docs_tmp)
+
+    # side tables + meta, the build's own recipe: tstats from committed
+    # blocks, N/avgdl from the docs table
+    with _scan_conf(spark, str(128 << 20)):
+        spark.read.parquet(blocks_root).groupBy("term").agg(
+            F.sum("n").cast("long").alias("df")
+        ).write.mode("overwrite").parquet(os.path.join(root, "tstats"))
+    row = spark.read.parquet(os.path.join(root, "docs")).agg(
+        F.count("*").alias("n"), F.avg("doclen").alias("avgdl")
+    ).collect()[0]
+    meta.update(
+        N=int(row["n"]),
+        avgdl=float(row["avgdl"] or 0.0),
+        encoded_avgdl=enc_avgdl,
+        compactions=int(meta.get("compactions", 0)) + 1,
+    )
+    with open(os.path.join(root, "meta.json.tmp"), "w") as f:
+        json.dump(meta, f)
+    os.replace(os.path.join(root, "meta.json.tmp"), os.path.join(root, "meta.json"))
+    _mark_folded(store_dir, pending)
+    return {
+        "status": "compacted",
+        "touched_buckets": touched_l,
+        "n_new_docs": int(n_new),
+        "n_retired": len(retired_ids),
+        "folded": pending,
+    }
 
 
 def _recover_compaction(src: str) -> None:

@@ -1,0 +1,174 @@
+"""Streaming store → block index compaction gate (the reference's
+publish step, Indexer.java:287-294, as an incremental LSM merge):
+
+batch build → stream new + CHANGED docs → compact_into_index →
+  * BM25 top-k over the compacted index EXACTLY equals a from-scratch
+    rebuild over the logically-equivalent corpus (same doc ids AND bit-
+    equal float64 scores: postings/doclen/N/avgdl/df all match and the
+    scorer rescores survivors exactly — the encoded-avgdl bound drift
+    only loosens pruning, covered by wtf_scale);
+  * buckets NOT touched by new or retired postings are byte-identical
+    to their pre-compaction files (the incremental-cost claim: fold
+    I/O ∝ touched data, never index size);
+  * folded docs leave the live store view; a replayed compaction is a
+    no-op; the manifest lineage still verifies.
+Plus a round-trip gate for the block decoder compaction rests on.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+from pyspark.sql import functions as F
+
+from search_engine_spark.corpus import generate_corpus, with_doc_id
+from search_engine_spark.index import doc_postings
+from search_engine_spark.query import bm25_topk_blocks
+from search_engine_spark.sink import IndexSink, wtf_scale_of
+from search_engine_spark.streaming import (
+    compact_into_index,
+    decode_block_postings,
+    incremental_index_stream,
+    read_live_postings,
+)
+from search_engine_spark.tokenize import tokenize
+
+N_BUCKETS = 32
+
+# narrow-vocabulary docs so the touched-bucket set is a small subset of
+# N_BUCKETS and the untouched-byte-identity claim is actually exercised
+# (generated docs carry rich vocab — retiring one touches most buckets)
+_NARROW = [
+    ("nrw", "a.py", "c1", "py", "zqalpha komodo zqbeta zqalpha"),
+    ("nrw", "b.py", "c1", "py", "komodo zqgamma zqalpha"),
+    ("nrw", "c.py", "c1", "py", "zqdelta zqbeta komodo komodo"),
+]
+_CHANGED_V2 = [
+    ("nrw", "a.py", "c2", "py", "zqepsilon komodo zqalpha"),
+    ("nrw", "b.py", "c2", "py", "zqgamma zqgamma zqzeta"),
+]
+_NEW = [
+    ("nrw", "d.py", "c1", "py", "zqeta komodo zqalpha zqtheta"),
+    ("nrw", "e.py", "c1", "py", "zqbeta zqiota"),
+]
+
+QUERIES = ["komodo", "zqalpha zqbeta", "zqgamma", "import zqepsilon", "zqzeta komodo"]
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    )
+
+
+def _topk(spark, sink, q, k=10):
+    blocks, tstats, _d, meta = sink.read(spark)
+    return [
+        (r["doc_id"], r["score"])
+        for r in bm25_topk_blocks(
+            blocks, tstats, meta["N"], meta["avgdl"], q, k=k,
+            wtf_scale=wtf_scale_of(meta),
+        ).collect()
+    ]
+
+
+def _bucket_hashes(root):
+    out = {}
+    broot = os.path.join(root, "blocks")
+    for d in sorted(os.listdir(broot)):
+        if not d.startswith("bucket="):
+            continue
+        files = {}
+        for f in sorted(os.listdir(os.path.join(broot, d))):
+            if f.startswith(".") or f.startswith("_"):
+                continue
+            with open(os.path.join(broot, d, f), "rb") as fh:
+                files[f] = hashlib.sha256(fh.read()).hexdigest()
+        out[int(d.split("=")[1])] = files
+    return out
+
+
+def test_decode_block_postings_roundtrip(spark, tmp_path):
+    """The decoder is the exact inverse of the encoder — postings in,
+    blocks, postings out, set-identical (incl. positions and doclen)."""
+    corpus = generate_corpus(spark, 60)
+    sink = IndexSink(str(tmp_path / "idx"), n_buckets=8)
+    sink.build(corpus, url_cols=None)
+    blocks, _t, dstats, _m = sink.read(spark)
+    got = {
+        (r["term"], r["doc_id"], r["tf"], r["doclen"], tuple(r["positions"]))
+        for r in decode_block_postings(blocks).collect()
+    }
+    ids = with_doc_id(corpus)
+    from search_engine_spark.tokenize import stem_vocab
+
+    toks = tokenize(ids)
+    vocab = stem_vocab(toks)
+    stemmed = (
+        toks.join(F.broadcast(vocab), "term")
+        .where(F.col("stem") != F.col("term"))
+        .select("doc_id", F.col("stem").alias("term"), "pos")
+    )
+    postings = doc_postings(toks.unionByName(stemmed))
+    exp = {
+        (r["term"], r["doc_id"], r["tf"], r["doclen"], tuple(r["positions"]))
+        for r in postings.join(dstats, "doc_id").collect()
+    }
+    assert got == exp
+
+
+def test_compact_into_index_equals_rebuild(spark, tmp_path):
+    batch = generate_corpus(spark, 60).unionByName(_mk(spark, _NARROW)).cache()
+    batch.count()
+    sink = IndexSink(str(tmp_path / "idx"), n_buckets=N_BUCKETS)
+    sink.build(batch, url_cols=None)
+    pre = _bucket_hashes(sink.root)
+
+    corpus_dir = str(tmp_path / "in")
+    store = str(tmp_path / "store")
+    os.makedirs(corpus_dir)
+    stream_docs = _mk(spark, _CHANGED_V2 + _NEW)
+    stream_docs.coalesce(1).write.mode("append").parquet(corpus_dir)
+    q = incremental_index_stream(spark, corpus_dir, store, str(tmp_path / "ckpt"))
+    assert q.awaitTermination(120)
+
+    res = compact_into_index(spark, sink, store)
+    assert res["status"] == "compacted"
+    assert res["n_new_docs"] == 4
+    assert res["n_retired"] == 2  # a.py@c1, b.py@c1 superseded
+
+    # untouched buckets: not rewritten, byte-identical
+    post = _bucket_hashes(sink.root)
+    untouched = [b for b in pre if b not in res["touched_buckets"]]
+    assert len(untouched) >= N_BUCKETS // 2, (
+        f"touched {res['touched_buckets']} covers too much — the narrow-"
+        "vocab fixture no longer exercises incrementality"
+    )
+    for b in untouched:
+        assert post[b] == pre[b], f"untouched bucket {b} changed"
+
+    # from-scratch rebuild over the logically-equivalent corpus
+    final = (
+        batch.join(
+            _mk(spark, _CHANGED_V2).select("repo", "path"),
+            ["repo", "path"],
+            "left_anti",
+        )
+        .unionByName(stream_docs)
+    )
+    sink2 = IndexSink(str(tmp_path / "idx2"), n_buckets=N_BUCKETS)
+    sink2.build(final, url_cols=None)
+    _b, _t, _d, meta2 = sink2.read(spark)
+    _b, _t, _d, meta1 = sink.read(spark)
+    assert meta1["N"] == meta2["N"]
+    assert meta1["avgdl"] == meta2["avgdl"]
+    assert meta1["encoded_avgdl"] != meta1["avgdl"]  # stats advanced, encode pinned
+    for qs in QUERIES:
+        assert _topk(spark, sink, qs) == _topk(spark, sink2, qs), qs
+
+    # lineage verifies; folded docs leave the live store; replay is a no-op
+    assert sink.verify(spark) == []
+    assert read_live_postings(spark, store).count() == 0
+    assert compact_into_index(spark, sink, store)["status"] == "noop"
+    batch.unpersist()
