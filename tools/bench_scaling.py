@@ -75,7 +75,13 @@ def run_level(level: int, sf_dir: str, runs: int = 1, local: bool = False) -> di
     best = None
     for _ in range(runs):
         env = dict(
-            os.environ, SPARK_GRAFT_SF_DIR=sf_dir, SPARK_GRAFT_NDOCS=str(SCALING_NDOCS)
+            os.environ,
+            SPARK_GRAFT_SF_DIR=sf_dir,
+            SPARK_GRAFT_NDOCS=str(SCALING_NDOCS),
+            # scaling grades files_per_sec (index build); the 25-query
+            # serial sweep would add ~10 min of ungraded wall per pair
+            # at the 2-core N level
+            SPARK_GRAFT_SKIP_REF25="1",
         )
         if local:
             env["SPARK_GRAFT_CPUS"] = str(level)

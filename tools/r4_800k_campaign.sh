@@ -1,0 +1,15 @@
+#!/bin/bash
+# Round-4 campaign: 800k-doc C=2 tmpfs scaling pool (VERDICT r3 item 5).
+# Each invocation = one PAIRED (N=1x2, 4N=4x2 executors) measurement
+# appended to BENCH/history.jsonl; BENCH/BASELINE.md regenerated each time.
+set -u
+cd /root/repo
+export SPARK_GRAFT_EXECUTOR_CORES=2
+export SPARK_GRAFT_SCALING_NDOCS=800000
+export SPARK_GRAFT_LOCAL_DIR=/dev/shm/spark_graft_scaling
+N_PAIRS=${1:-6}
+for i in $(seq 1 "$N_PAIRS"); do
+  echo "=== pair $i/$N_PAIRS $(date -u +%H:%M:%S) load=$(cut -d' ' -f1 /proc/loadavg)"
+  timeout 3900 python tools/bench_scaling.py /root/testdata/sf0.1 2>&1 | tail -1
+done
+echo "=== campaign done $(date -u +%H:%M:%S)"
