@@ -1,0 +1,36 @@
+#!/bin/bash
+# A/B attribution for the r3->r4 files/sec question: run bench.py at
+# HEAD and at the round-2 code point (d2d2018) back-to-back, repeatedly,
+# so both sides see the same co-tenant host window. If HEAD ~= r2-code
+# within pairs, the apparent regression is host contention, not engine.
+set -u
+cd /root/repo
+R2=${R2_COMMIT:-d2d2018}
+PAIRS=${1:-4}
+OUT=BENCH/r04_ab_pool.jsonl
+if [ ! -d .r2bench ]; then
+  git worktree add --detach .r2bench "$R2" >/dev/null
+fi
+stamp() { echo "{\"side\":\"$1\",\"load0\":$(cut -d' ' -f1 /proc/loadavg),\"line\":$2}"; }
+for i in $(seq 1 "$PAIRS"); do
+  for side in head r2; do
+    L=$(cut -d' ' -f1 /proc/loadavg)
+    if [ "$side" = head ]; then
+      J=$(SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 SPARK_GRAFT_SKIP_REF25=1 timeout 900 python bench.py 2>/dev/null | tail -1)
+    else
+      J=$(cd .r2bench && SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 timeout 900 python bench.py 2>/dev/null | tail -1)
+    fi
+    python3 - "$side" "$L" <<PYEOF >> "$OUT"
+import json, sys
+side, load = sys.argv[1], float(sys.argv[2])
+line = '''$J'''
+r = json.loads(line)
+print(json.dumps({"side": side, "pair": $i, "load0_pre": load,
+                  "files_per_sec": r["files_per_sec"],
+                  "doc_stats": r["phases"]["doc_stats"],
+                  "steal_pct": r.get("steal_pct")}))
+PYEOF
+    echo "pair $i $side done load_pre=$L"
+  done
+done
+echo AB_DONE
