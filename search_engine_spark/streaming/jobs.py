@@ -54,7 +54,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ..corpus import CORPUS_SCHEMA, with_doc_id
 from ..index import doc_postings
-from ..tokenize import tokenize
+from ..tokenize import tokenize, tokenize_url
 
 EVENTS_SCHEMA = (
     "event_id long, ts timestamp, user_id long, event_type string, "
@@ -130,16 +130,64 @@ def _read_committed(spark: SparkSession, store_dir: str, name: str) -> DataFrame
     return df.where(F.col("commit_id").isin(committed))
 
 
+def _store_meta_path(store_dir: str) -> str:
+    return f"{store_dir}/_store_meta.json"
+
+
+def _write_store_meta(store_dir: str, url_cols) -> None:
+    """Record the store's tokenization channel once; a later stream (or
+    compaction) against the same store must agree — mixing term spaces
+    (URL-injected vs plain) inside one store would corrupt merge-on-read
+    and folds silently."""
+    import json
+    import os
+
+    want = {"url_cols": list(url_cols) if url_cols else []}
+    p = _store_meta_path(store_dir)
+    if os.path.exists(p):
+        with open(p) as fh:
+            have = json.load(fh)
+        if have.get("url_cols", []) != want["url_cols"]:
+            raise ValueError(
+                f"store {store_dir} was ingested with url_cols="
+                f"{have.get('url_cols')}, asked for {want['url_cols']}"
+            )
+        return
+    os.makedirs(store_dir, exist_ok=True)
+    with open(p + ".tmp", "w") as fh:
+        json.dump(want, fh)
+    os.replace(p + ".tmp", p)
+
+
+def store_url_cols(store_dir: str) -> list[str]:
+    import json
+    import os
+
+    p = _store_meta_path(store_dir)
+    if not os.path.exists(p):
+        return []
+    with open(p) as fh:
+        return list(json.load(fh).get("url_cols", []))
+
+
 def incremental_index_stream(
     spark: SparkSession,
     corpus_dir: str,
     store_dir: str,
     checkpoint_dir: str,
+    url_cols: tuple[str, ...] | None = None,
 ):
     """Start (and return) the incremental indexing query — the streaming
     upgrade of the reference's crawl_old skip-probe (Indexer.java:213-229)
     with the per-batch atomic commit protocol described in the module
     docstring.
+
+    ``url_cols``: tokenize with the sink's URL-token injection channel
+    (tokenize_url — Indexer.java:236-238 parity) so the store's postings
+    carry the uf URL-bonus flag and fold cleanly into a URL-channel
+    index (sink default). Must match the target index's meta.url_cols
+    for compact_into_index; recorded in the store's _store_meta.json and
+    enforced across restarts.
 
     DEPLOYMENT REQUIREMENT (applies to the whole store, not just
     compaction): the marker-file commit protocol relies on POSIX
@@ -153,6 +201,7 @@ def incremental_index_stream(
     format or metastore for the marker set — Delta/Iceberg commit logs
     are the standard cluster replacement; the batch token/seq protocol
     itself is unchanged."""
+    _write_store_meta(store_dir, url_cols)
     stream = read_corpus_stream(spark, corpus_dir)
 
     def process_batch(batch_df: DataFrame, _batch_id: int) -> None:
@@ -188,7 +237,13 @@ def incremental_index_stream(
             seq = max(committed.values(), default=-1) + 1
             # ONE tokenize pass: dstats (doclen = Σtf) derives from the
             # persisted aggregated postings, exactly doc_stats semantics
-            posted = doc_postings(tokenize(fresh)).persist()
+            toks = (
+                tokenize_url(fresh, url_cols) if url_cols else tokenize(fresh)
+            )
+            posted = doc_postings(toks)
+            if "uf" not in posted.columns:
+                posted = posted.withColumn("uf", F.lit(0).cast("int"))
+            posted = posted.persist()
             # each table writes into ITS OWN commit partition with overwrite:
             # a replay of a crashed attempt (same data ⇒ same token) rewrites
             # the partial files instead of appending next to them
@@ -252,7 +307,7 @@ def live_doc_ids(spark: SparkSession, store_dir: str) -> DataFrame:
 
 
 _POSTINGS_SCHEMA = (
-    "doc_id long, term string, tf int, positions array<int>, commit_id string"
+    "doc_id long, term string, tf int, positions array<int>, uf int, commit_id string"
 )
 _DSTATS_SCHEMA = "doc_id long, doclen int, commit_id string"
 
@@ -266,6 +321,8 @@ def read_live_postings(spark: SparkSession, store_dir: str) -> DataFrame:
     tbl = _read_committed(spark, store_dir, "postings")
     if tbl is None:
         return spark.createDataFrame([], _POSTINGS_SCHEMA)
+    if "uf" not in tbl.columns:  # store written before the uf column
+        tbl = tbl.withColumn("uf", F.lit(0).cast("int"))
     tbl = _drop_folded(tbl, store_dir)
     return tbl.join(live_doc_ids(spark, store_dir), "doc_id", "left_semi")
 
@@ -463,12 +520,18 @@ def compact_into_index(
 
     root = sink.root
     meta = json.load(open(os.path.join(root, "meta.json")))
-    if meta.get("url_cols"):
+    # channel compatibility: the store's tokenization (plain vs
+    # URL-injected, and WHICH url columns) must match the index's —
+    # folding across channels would mix term spaces silently. The store
+    # records its channel at stream start (_write_store_meta).
+    idx_urls = list(meta.get("url_cols") or [])
+    st_urls = store_url_cols(store_dir)
+    if idx_urls != st_urls:
         raise ValueError(
-            "compact_into_index supports url_cols=() indexes only: the "
-            "streaming ingest tokenizes content without URL injection, so "
-            "folding into a URL-channel index would mix term spaces. Build "
-            "with url_cols=None or extend the stream ingest first."
+            f"channel mismatch: index built with url_cols={idx_urls}, "
+            f"store ingested with url_cols={st_urls} — re-ingest the "
+            "stream with url_cols matching the index (incremental_"
+            "index_stream(url_cols=...)) or rebuild the index."
         )
     _recover_index_compaction(root)
     committed = committed_commits(store_dir)
@@ -512,13 +575,13 @@ def compact_into_index(
     # posting-level stem channel, exactly the batch build's
     # (sink._build_inner): vocab over the new postings only
     vocab = stem_vocab(new_p).where(F.col("stem") != F.col("term"))
+    # stem rows COPY the raw row's uf, exactly the sink's enrichment
+    # (a stemmed url component keeps the bonus flag, Search.java:149-163)
     stemmed = new_p.join(F.broadcast(vocab), "term").select(
-        "doc_id", F.col("stem").alias("term"), "tf", "positions"
+        "doc_id", F.col("stem").alias("term"), "tf", "positions", "uf"
     )
-    new_full = (
-        new_p.select("doc_id", "term", "tf", "positions")
-        .unionByName(stemmed)
-        .withColumn("uf", F.lit(0).cast("int"))
+    new_full = new_p.select("doc_id", "term", "tf", "positions", "uf").unionByName(
+        stemmed
     )
     new_dl = read_live_dstats(spark, store_dir).join(
         F.broadcast(new_docs.select("doc_id")), "doc_id", "left_semi"

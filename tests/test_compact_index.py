@@ -172,3 +172,71 @@ def test_compact_into_index_equals_rebuild(spark, tmp_path):
     assert read_live_postings(spark, store).count() == 0
     assert compact_into_index(spark, sink, store)["status"] == "noop"
     batch.unpersist()
+
+
+def _decoded_content(spark, sink):
+    """Full logical index content: every posting with its URL-bonus flag."""
+    blocks, _t, _d, _m = sink.read(spark)
+    return {
+        (r["term"], r["doc_id"], r["tf"], r["doclen"], r["uf"], tuple(r["positions"]))
+        for r in decode_block_postings(blocks).collect()
+    }
+
+
+def test_compact_url_channel_equals_rebuild(spark, tmp_path):
+    """The URL-injected channel (sink DEFAULT, Indexer.java:236-238)
+    folds too: the stream ingests with tokenize_url, the store carries
+    the uf bonus flag, and the compacted index's DECODED content —
+    including uf — exactly equals a from-scratch URL-channel rebuild."""
+    url_cols = ("repo", "path")
+    batch = _mk(spark, _NARROW)
+    sink = IndexSink(str(tmp_path / "idx"), n_buckets=8)
+    sink.build(batch, url_cols=url_cols)
+
+    corpus_dir = str(tmp_path / "in")
+    store = str(tmp_path / "store")
+    os.makedirs(corpus_dir)
+    stream_docs = _mk(spark, _CHANGED_V2 + _NEW)
+    stream_docs.coalesce(1).write.mode("append").parquet(corpus_dir)
+    q = incremental_index_stream(
+        spark, corpus_dir, store, str(tmp_path / "ckpt"), url_cols=url_cols
+    )
+    assert q.awaitTermination(120)
+
+    res = compact_into_index(spark, sink, store)
+    assert res["status"] == "compacted"
+    assert res["n_new_docs"] == 4 and res["n_retired"] == 2
+
+    final = (
+        batch.join(
+            _mk(spark, _CHANGED_V2).select("repo", "path"),
+            ["repo", "path"],
+            "left_anti",
+        ).unionByName(stream_docs)
+    )
+    sink2 = IndexSink(str(tmp_path / "idx2"), n_buckets=8)
+    sink2.build(final, url_cols=url_cols)
+
+    assert _decoded_content(spark, sink) == _decoded_content(spark, sink2)
+    # "py" is a URL (path) token on every doc: scores ride the uf bonus
+    for qs in ("py", "komodo", "zqepsilon py"):
+        assert _topk(spark, sink, qs) == _topk(spark, sink2, qs), qs
+
+
+def test_compact_channel_mismatch_raises(spark, tmp_path):
+    """A plain-tokenized store must not fold into a URL-channel index."""
+    import pytest
+
+    batch = _mk(spark, _NARROW)
+    sink = IndexSink(str(tmp_path / "idx"), n_buckets=8)
+    sink.build(batch, url_cols=("repo", "path"))
+
+    corpus_dir = str(tmp_path / "in")
+    store = str(tmp_path / "store")
+    os.makedirs(corpus_dir)
+    _mk(spark, _NEW).coalesce(1).write.mode("append").parquet(corpus_dir)
+    q = incremental_index_stream(spark, corpus_dir, store, str(tmp_path / "ckpt"))
+    assert q.awaitTermination(120)
+
+    with pytest.raises(ValueError, match="channel mismatch"):
+        compact_into_index(spark, sink, store)

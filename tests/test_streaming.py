@@ -308,7 +308,7 @@ def test_read_paths_on_empty_store(spark, tmp_path):
     assert live_doc_ids(spark, store).count() == 0
     p = read_live_postings(spark, store)
     assert p.count() == 0
-    assert set(p.columns) == {"doc_id", "term", "tf", "positions", "commit_id"}
+    assert set(p.columns) == {"doc_id", "term", "tf", "positions", "uf", "commit_id"}
     d = read_live_dstats(spark, store)
     assert d.count() == 0
     assert set(d.columns) == {"doc_id", "doclen", "commit_id"}
