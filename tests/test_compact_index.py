@@ -223,6 +223,26 @@ def test_compact_url_channel_equals_rebuild(spark, tmp_path):
         assert _topk(spark, sink, qs) == _topk(spark, sink2, qs), qs
 
 
+def test_store_channel_pinned_across_restarts(spark, tmp_path):
+    """A store remembers its tokenization channel: restarting the stream
+    with different url_cols must fail before ingesting a single row."""
+    import pytest
+
+    corpus_dir = str(tmp_path / "in")
+    store = str(tmp_path / "store")
+    os.makedirs(corpus_dir)
+    _mk(spark, _NARROW).coalesce(1).write.mode("append").parquet(corpus_dir)
+    q = incremental_index_stream(
+        spark, corpus_dir, store, str(tmp_path / "ck1"), url_cols=("repo", "path")
+    )
+    assert q.awaitTermination(120)
+    from search_engine_spark.streaming import store_url_cols
+
+    assert store_url_cols(store) == ["repo", "path"]
+    with pytest.raises(ValueError, match="url_cols"):
+        incremental_index_stream(spark, corpus_dir, store, str(tmp_path / "ck2"))
+
+
 def test_compact_channel_mismatch_raises(spark, tmp_path):
     """A plain-tokenized store must not fold into a URL-channel index."""
     import pytest
