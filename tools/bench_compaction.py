@@ -1,0 +1,136 @@
+"""Fold-vs-rebuild economics for the streaming→index compaction
+(PLANS.md §8): build a base index, stream a delta, then measure
+
+  fold_wall      — compact_into_index (touched buckets only)
+  rebuild_wall   — IndexSink.build from scratch over the same corpus
+
+for TWO delta shapes at the same row count:
+
+  narrow — a synthetic commit-like delta whose vocabulary is a handful
+           of identifiers (the common code-corpus case): touches few
+           buckets, fold ≪ rebuild;
+  random — generator docs drawn from the full zipfian vocabulary: hot
+           terms touch their (large) buckets, so the fold approaches
+           the re-encode cost of most of the index — the measured
+           reason the fold is a MAJOR compaction run at an
+           operator-chosen cadence, with merge-on-read serving
+           between folds.
+
+Prints one JSON line per delta shape:
+  {"shape": ..., "n_base": N, "n_delta": K, "touched_buckets": t,
+   "n_buckets": B, "fold_s": ..., "rebuild_s": ..., "speedup": ...}
+
+Usage: python tools/bench_compaction.py [n_base] [n_delta]
+(defaults 20000 / 200; uses a scratch dir under .data/)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def run_shape(spark, shape: str, base, delta, workdir: str, n_buckets: int) -> dict:
+    from search_engine_spark.sink import IndexSink
+    from search_engine_spark.streaming import compact_into_index, incremental_index_stream
+
+    d = os.path.join(workdir, shape)
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d)
+    sink = IndexSink(os.path.join(d, "idx"), n_buckets=n_buckets)
+    sink.build(base, url_cols=None, buckets_per_wave=n_buckets)
+
+    corpus_dir = os.path.join(d, "in")
+    os.makedirs(corpus_dir)
+    delta.coalesce(1).write.mode("append").parquet(corpus_dir)
+    q = incremental_index_stream(
+        spark, corpus_dir, os.path.join(d, "store"), os.path.join(d, "ckpt")
+    )
+    assert q.awaitTermination(300)
+
+    t0 = time.perf_counter()
+    res = compact_into_index(spark, sink, os.path.join(d, "store"))
+    fold_s = time.perf_counter() - t0
+    assert res["status"] == "compacted", res
+
+    sink2 = IndexSink(os.path.join(d, "idx2"), n_buckets=n_buckets)
+    union = base.unionByName(delta)
+    t0 = time.perf_counter()
+    sink2.build(union, url_cols=None, buckets_per_wave=n_buckets)
+    rebuild_s = time.perf_counter() - t0
+
+    return {
+        "shape": shape,
+        "n_delta": res["n_new_docs"],
+        "touched_buckets": len(res["touched_buckets"]),
+        "n_buckets": n_buckets,
+        "fold_s": round(fold_s, 2),
+        "rebuild_s": round(rebuild_s, 2),
+        "speedup": round(rebuild_s / fold_s, 2),
+    }
+
+
+def main() -> None:
+    n_base = int(sys.argv[1]) if len(sys.argv) > 1 else 20000
+    n_delta = int(sys.argv[2]) if len(sys.argv) > 2 else 200
+
+    from pyspark.sql import functions as F
+
+    from search_engine_spark.corpus import generate_corpus
+    from search_engine_spark.session import build_session
+
+    spark = build_session(
+        int(os.environ.get("SPARK_GRAFT_CPUS", "16")),
+        "bench_compaction",
+        shuffle_partitions=32,
+    )
+    workdir = os.path.join(REPO, ".data", "bench_compaction")
+
+    base = generate_corpus(spark, n_base).cache()
+    base.count()
+
+    # narrow delta: commit-like docs over ~12 distinct identifiers
+    words = [
+        "qzalpha", "qzbeta", "qzgamma", "qzdelta", "qzepsilon", "qzzeta",
+        "qzeta", "qztheta", "qziota", "qzkappa", "qzlambda", "qzmu",
+    ]
+    rows = [
+        (
+            "narrowrepo",
+            f"src/mod_{i}.py",
+            "c1",
+            "py",
+            " ".join(words[i % 12 : i % 12 + 3] + [words[(7 * i) % 12]]),
+        )
+        for i in range(n_delta)
+    ]
+    narrow = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    )
+    # random delta: fresh generator docs (full zipfian vocabulary); the
+    # repo prefix keeps (repo, path, commit) — and so doc_id — disjoint
+    # from the base
+    random_delta = (
+        generate_corpus(spark, n_delta)
+        .withColumn("repo", F.concat(F.lit("delta-"), F.col("repo")))
+        .cache()
+    )
+    random_delta.count()
+
+    for shape, delta in (("narrow", narrow), ("random", random_delta)):
+        out = run_shape(spark, shape, base, delta, workdir, n_buckets=256)
+        out["n_base"] = n_base
+        print(json.dumps(out))
+
+    shutil.rmtree(workdir, ignore_errors=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
