@@ -23,8 +23,13 @@ the marker protocol.
 from __future__ import annotations
 
 import argparse
-import json
+import os
 import sys
+
+# importable both under spark-submit --py-files and as a plain local
+# `python tools/...` invocation
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import json
 
 from pyspark.sql import SparkSession
 

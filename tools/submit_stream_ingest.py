@@ -1,0 +1,83 @@
+"""Cluster entry point for the continuous-ingest half of the lifecycle
+(build → ingest → compact):
+
+    spark-submit --py-files dist/engine.zip \\
+        tools/submit_stream_ingest.py \\
+        --corpus /shared/incoming-parquet --store /shared/stream-store \\
+        --checkpoint /shared/ckpt [--url-cols repo,path] \\
+        [--follow-interval 60]
+
+Starts streaming.incremental_index_stream over the corpus directory:
+each micro-batch lands as an atomic content-addressed commit in the
+store (re-delivery and upsert-by-path handled by the docmap ledger);
+the live view is served by merge-on-read until
+tools/submit_compaction.py folds committed batches into the block
+index. Default is one availableNow drain (batch-friendly, exits when
+caught up); --follow-interval N re-drains every N seconds for
+continuous ingest. --url-cols must match the target index's channel
+(see submit_compaction.py) and is pinned by the store across restarts.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+# importable both under spark-submit --py-files and as a plain local
+# `python tools/...` invocation
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import json
+
+from pyspark.sql import SparkSession
+
+
+def main(argv: list[str] | None = None) -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--corpus", required=True, help="incoming parquet directory")
+    p.add_argument("--store", required=True, help="streaming store root")
+    p.add_argument("--checkpoint", required=True, help="stream checkpoint dir")
+    p.add_argument(
+        "--url-cols", default=None,
+        help="comma-separated URL-injection columns (e.g. repo,path); "
+        "omit for plain tokenization; must match the target index",
+    )
+    p.add_argument(
+        "--follow-interval", type=float, default=None, metavar="SECONDS",
+        help="after draining, keep polling for new files every SECONDS "
+        "(continuous ingest as a drain loop — the query runs "
+        "trigger=availableNow, so each pass commits everything pending "
+        "and the checkpoint carries across passes)",
+    )
+    args = p.parse_args(argv)
+    url_cols = tuple(c for c in (args.url_cols or "").split(",") if c) or None
+
+    from search_engine_spark.streaming import committed_commits, incremental_index_stream
+
+    preexisting = SparkSession.getActiveSession() is not None
+    spark = SparkSession.builder.appName(
+        "search_engine_spark.stream_ingest"
+    ).getOrCreate()
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+    while True:
+        q = incremental_index_stream(
+            spark, args.corpus, args.store, args.checkpoint, url_cols=url_cols
+        )
+        ok = q.awaitTermination(24 * 3600)
+        print(json.dumps({
+            "status": "drained" if ok else "timeout",
+            "committed_batches": len(committed_commits(args.store)),
+        }), flush=True)
+        if args.follow_interval is None or not ok:
+            break
+        import time
+
+        time.sleep(args.follow_interval)
+    if not preexisting:
+        spark.stop()
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()
