@@ -620,9 +620,15 @@ def compact_into_index(
     # (touched_l can be empty with n_new > 0 when every folded doc is
     # token-less — then only the docs table and N/avgdl change)
     if touched_l:
+        # Drop the WHOLE fold set (retired ∪ new) from the decoded side,
+        # not just retired: new docs always re-enter from the store, and
+        # after a crash BETWEEN bucket swaps a replay decodes buckets
+        # that already hold the new postings — keeping them would merge
+        # with the re-added store rows in the encoder and double tf.
+        drop_ids = retired.unionByName(new_docs.select("doc_id"))
         old_p = decode_block_postings(
             blocks.where(F.col("bucket").isin(touched_l))
-        ).join(retired, "doc_id", "left_anti")
+        ).join(drop_ids, "doc_id", "left_anti")
         new_enriched = new_full.join(F.broadcast(new_dl), "doc_id").select(
             "term", "doc_id", F.col("tf").cast("int").alias("tf"),
             F.col("doclen").cast("int").alias("doclen"), "uf", "positions",

@@ -223,6 +223,58 @@ def test_compact_url_channel_equals_rebuild(spark, tmp_path):
         assert _topk(spark, sink, qs) == _topk(spark, sink2, qs), qs
 
 
+def test_compact_replay_after_partial_crash(spark, tmp_path):
+    """Crash window between the bucket swaps and the docs swap: buckets
+    already hold the folded postings while the docs table (and fold
+    markers) still say they are pending. The replay must converge to the
+    same state as a clean fold — NOT double-count the new docs' tf by
+    merging already-swapped blocks with re-added store rows."""
+    import shutil
+
+    batch = _mk(spark, _NARROW)
+    sink = IndexSink(str(tmp_path / "idx"), n_buckets=8)
+    sink.build(batch, url_cols=None)
+
+    corpus_dir = str(tmp_path / "in")
+    store = str(tmp_path / "store")
+    os.makedirs(corpus_dir)
+    stream_docs = _mk(spark, _CHANGED_V2 + _NEW)
+    stream_docs.coalesce(1).write.mode("append").parquet(corpus_dir)
+    q = incremental_index_stream(spark, corpus_dir, store, str(tmp_path / "ckpt"))
+    assert q.awaitTermination(120)
+
+    docs_dir = os.path.join(sink.root, "docs")
+    docs_backup = str(tmp_path / "docs_pre")
+    shutil.copytree(docs_dir, docs_backup)
+    meta_backup = open(os.path.join(sink.root, "meta.json")).read()
+
+    assert compact_into_index(spark, sink, store)["status"] == "compacted"
+
+    # rewind to the crash window: buckets are swapped, docs/meta/markers
+    # are pre-fold
+    shutil.rmtree(docs_dir)
+    shutil.copytree(docs_backup, docs_dir)
+    with open(os.path.join(sink.root, "meta.json"), "w") as fh:
+        fh.write(meta_backup)
+    shutil.rmtree(os.path.join(store, "_folded"))
+
+    res = compact_into_index(spark, sink, store)
+    assert res["status"] == "compacted"
+
+    final = (
+        batch.join(
+            _mk(spark, _CHANGED_V2).select("repo", "path"),
+            ["repo", "path"],
+            "left_anti",
+        ).unionByName(stream_docs)
+    )
+    sink2 = IndexSink(str(tmp_path / "idx2"), n_buckets=8)
+    sink2.build(final, url_cols=None)
+    assert _decoded_content(spark, sink) == _decoded_content(spark, sink2)
+    for qs in QUERIES:
+        assert _topk(spark, sink, qs) == _topk(spark, sink2, qs), qs
+
+
 def test_store_channel_pinned_across_restarts(spark, tmp_path):
     """A store remembers its tokenization channel: restarting the stream
     with different url_cols must fail before ingesting a single row."""
