@@ -228,13 +228,35 @@ def incremental_index_stream(
             # 'c' prefix keeps partition-value type inference firmly string
             token = f"c{n_docs}-{(int(sig['x'] or 0)) & (2**64 - 1):016x}"
             committed = committed_commits(store_dir)
-            if token in committed:
-                return  # same doc set already fully committed (replay) — no-op
             seen_src = _read_committed(spark, store_dir, "docmap")
+            seq = max(committed.values(), default=-1) + 1
+            if token in committed:
+                # The (count, xor-of-xxhash64) token says this exact doc
+                # set was already committed (a replay). Trusting the
+                # 64-bit signature alone would turn a collision — xor is
+                # linear and the inputs are externally supplied, so
+                # adversarial collisions are constructible — into SILENT
+                # loss of a whole batch. Exact backstop (cheap: only
+                # runs on a token match, i.e. replays): every doc_id
+                # must already be in the committed docmap. If any is
+                # missing this is a colliding DIFFERENT batch — process
+                # it under a seq-salted token instead of dropping it
+                # (deterministic across a crash-replay of the same
+                # attempt: the stream is the single writer, so the
+                # replay recomputes the same seq).
+                missing = (
+                    n_docs
+                    if seen_src is None
+                    else ids.join(
+                        seen_src.select("doc_id"), "doc_id", "left_anti"
+                    ).limit(1).count()
+                )
+                if missing == 0:
+                    return  # true replay — already fully committed, no-op
+                token = f"{token}-x{seq}"
             fresh = ids
             if seen_src is not None:
                 fresh = ids.join(seen_src.select("doc_id"), "doc_id", "left_anti")
-            seq = max(committed.values(), default=-1) + 1
             # ONE tokenize pass: dstats (doclen = Σtf) derives from the
             # persisted aggregated postings, exactly doc_stats semantics
             toks = (
@@ -280,30 +302,38 @@ def incremental_index_stream(
     )
 
 
-def live_doc_ids(spark: SparkSession, store_dir: str) -> DataFrame:
-    """Resolve upsert-by-path: for each (repo, path) the LATEST ingested
-    version wins — later commit seq beats earlier (seq is the stream's
-    monotonic ingest clock); within a batch the tie breaks on (commit,
-    doc_id) descending for determinism. This is the read-time half of a
-    MERGE sink (merge-on-read): the store stays append-only and cheap to
-    write, and this window — over the tiny COMMITTED docmap ledger,
-    never the postings — masks superseded versions and never sees
-    uncommitted partials. Reference analog: the skip-by-probe in
-    Indexer.java:213-229 avoided re-index of UNCHANGED urls; this
-    additionally retires CHANGED ones, which the reference could not."""
+def _winners(docmap: DataFrame) -> DataFrame:
+    """THE upsert-resolution rule, shared by every consumer (read-time
+    masking in :func:`live_doc_ids`, fold-time winner selection in
+    :func:`compact_into_index`): for each (repo, path) the LATEST
+    ingested version wins — later commit seq beats earlier (seq is the
+    stream's monotonic ingest clock); within a batch the tie breaks on
+    (commit, doc_id) descending for determinism. One definition on
+    purpose: if the merge-on-read view and the fold ever disagreed about
+    which version is live, a superseded version could be folded into the
+    index while reads mask it — silent divergence."""
     from pyspark.sql.window import Window
 
-    dm = _read_committed(spark, store_dir, "docmap")
-    if dm is None:  # nothing ingested yet
-        return spark.createDataFrame([], "doc_id long")
     w = Window.partitionBy("repo", "path").orderBy(
         F.desc("seq"), F.desc("commit"), F.desc("doc_id")
     )
-    return (
-        dm.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .select("doc_id")
-    )
+    return docmap.withColumn("_rn", F.row_number().over(w)).where(
+        F.col("_rn") == 1
+    ).drop("_rn")
+
+
+def live_doc_ids(spark: SparkSession, store_dir: str) -> DataFrame:
+    """Resolve upsert-by-path over the tiny COMMITTED docmap ledger
+    (never the postings) via :func:`_winners` — the read-time half of a
+    MERGE sink (merge-on-read): the store stays append-only and cheap to
+    write, superseded versions are masked, uncommitted partials never
+    seen. Reference analog: the skip-by-probe in Indexer.java:213-229
+    avoided re-index of UNCHANGED urls; this additionally retires
+    CHANGED ones, which the reference could not."""
+    dm = _read_committed(spark, store_dir, "docmap")
+    if dm is None:  # nothing ingested yet
+        return spark.createDataFrame([], "doc_id long")
+    return _winners(dm).select("doc_id")
 
 
 _POSTINGS_SCHEMA = (
@@ -548,14 +578,9 @@ def compact_into_index(
 
     # live winners over the FULL docmap (folded history included: a doc
     # folded earlier must still beat an older pending re-delivery), with
-    # their metadata rows for the docs-table update
-    from pyspark.sql.window import Window
-
-    dm = _read_committed(spark, store_dir, "docmap")
-    w = Window.partitionBy("repo", "path").orderBy(
-        F.desc("seq"), F.desc("commit"), F.desc("doc_id")
-    )
-    winners = dm.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1)
+    # their metadata rows for the docs-table update — the SAME resolution
+    # rule as read-time masking (_winners; one definition on purpose)
+    winners = _winners(_read_committed(spark, store_dir, "docmap"))
     # fold set: winners from still-pending commits whose exact version is
     # not already in the index (re-delivery of an indexed version → no-op)
     new_docs = winners.where(F.col("commit_id").isin(pending)).join(
@@ -612,6 +637,16 @@ def compact_into_index(
     touched_l = sorted(touched)
     n_new = new_docs.count()
     if not touched_l and n_new == 0:
+        # Nothing to re-encode — either a genuinely empty fold set, or a
+        # REPLAY of a fold that crashed after the bucket/docs swaps but
+        # before the side-table rewrite (then the anti-join above sees
+        # the already-updated docs table and the fold set reads empty).
+        # The replay case leaves tstats/meta stale unless refreshed here,
+        # and the two cases are not cheaply distinguishable — so this
+        # branch ALWAYS refreshes the side tables before marking folded
+        # (idempotent: recomputing from committed blocks + docs is a
+        # no-op when they were already consistent).
+        _refresh_index_side_tables(spark, root, meta, enc_avgdl)
         _mark_folded(store_dir, pending)
         return {"status": "folded_empty", "touched_buckets": [],
                 "n_new_docs": 0, "n_retired": 0, "folded": pending}
@@ -688,10 +723,34 @@ def compact_into_index(
     docs_new.write.parquet(docs_tmp)
     _swap_dir(os.path.join(root, "docs"), docs_tmp)
 
-    # side tables + meta, the build's own recipe: tstats from committed
-    # blocks, N/avgdl from the docs table
+    _refresh_index_side_tables(spark, root, meta, enc_avgdl)
+    _mark_folded(store_dir, pending)
+    return {
+        "status": "compacted",
+        "touched_buckets": touched_l,
+        "n_new_docs": int(n_new),
+        "n_retired": len(retired_ids),
+        "folded": pending,
+    }
+
+
+def _refresh_index_side_tables(
+    spark: SparkSession, root: str, meta: dict, enc_avgdl: float
+) -> None:
+    """Rewrite the index's tstats + meta from current committed state —
+    the build's own recipe (tstats from committed blocks, N/avgdl from
+    the docs table). Idempotent by construction, so
+    :func:`compact_into_index` runs it on EVERY exit path before marking
+    commits folded: a fold replayed after a crash anywhere between the
+    bucket/docs swaps and the marker write re-derives consistent side
+    tables instead of trusting whatever the crash left behind."""
+    import json
+    import os
+
+    from ..sink import _scan_conf
+
     with _scan_conf(spark, str(128 << 20)):
-        spark.read.parquet(blocks_root).groupBy("term").agg(
+        spark.read.parquet(os.path.join(root, "blocks")).groupBy("term").agg(
             F.sum("n").cast("long").alias("df")
         ).write.mode("overwrite").parquet(os.path.join(root, "tstats"))
     row = spark.read.parquet(os.path.join(root, "docs")).agg(
@@ -706,14 +765,6 @@ def compact_into_index(
     with open(os.path.join(root, "meta.json.tmp"), "w") as f:
         json.dump(meta, f)
     os.replace(os.path.join(root, "meta.json.tmp"), os.path.join(root, "meta.json"))
-    _mark_folded(store_dir, pending)
-    return {
-        "status": "compacted",
-        "touched_buckets": touched_l,
-        "n_new_docs": int(n_new),
-        "n_retired": len(retired_ids),
-        "folded": pending,
-    }
 
 
 def _recover_compaction(src: str) -> None:
@@ -775,6 +826,7 @@ def compact_store(spark: SparkSession, store_dir: str) -> dict:
     for name in ("postings", "dstats", "docmap"):
         _recover_compaction(f"{store_dir}/{name}")
     live = live_doc_ids(spark, store_dir).cache()
+    folded = sorted(folded_commits(store_dir))
     stats = {}
     for name in ("postings", "dstats", "docmap"):
         src = f"{store_dir}/{name}"
@@ -782,27 +834,48 @@ def compact_store(spark: SparkSession, store_dir: str) -> dict:
             continue
         df = _read_committed(spark, store_dir, name)
         before = df.count()
-        # postings/dstats retire superseded versions; the docmap LEDGER
-        # keeps every committed version row — it is what detects a
-        # re-delivered SUPERSEDED version (process_batch's anti-join), and
-        # dropping its history would let a replayed old commit re-ingest
-        # with a fresh higher seq and mask the newer one. It is
-        # metadata-sized (one short row per ingested version); compaction
-        # still rewrites it to GC uncommitted partials.
-        kept = df if name == "docmap" else df.join(live, "doc_id", "left_semi")
+        # postings/dstats retire superseded versions AND drop rows of
+        # commits already folded into the block index (every read path
+        # excludes them via _drop_folded and they are served by the
+        # index — on a long-lived store the folded history would
+        # otherwise dominate the bytes and be rewritten forever). The
+        # docmap LEDGER keeps every committed version row, folded
+        # included — it is what detects a re-delivered SUPERSEDED
+        # version (process_batch's anti-join), and dropping its history
+        # would let a replayed old commit re-ingest with a fresh higher
+        # seq and mask the newer one. It is metadata-sized (one short
+        # row per ingested version); compaction still rewrites it to GC
+        # uncommitted partials.
+        if name == "docmap":
+            kept = df
+        else:
+            kept = df.join(live, "doc_id", "left_semi")
+            if folded:
+                kept = kept.where(~F.col("commit_id").isin(folded))
         tmp = f"{src}.tmp"
         n_kept = kept.count()
         if n_kept == 0:
             # dynamic partitionBy on an EMPTY frame writes a dir with no
             # data files — unreadable by schema inference after the swap
-            # discarded the original. Write one schema-bearing empty part
-            # instead (commit_id becomes a regular column; read paths
-            # filter on it identically either way).
-            kept.repartition(1).write.mode("overwrite").parquet(tmp)
+            # discarded the original. Write one schema-bearing empty
+            # part UNDER A PARTITION DIRECTORY (never-committed token
+            # "gc0", so reads filter it out) to keep the table's
+            # partitioned layout: a flat part file here would conflict
+            # with the commit_id=... directories the resumed stream
+            # writes next to it and brick partition discovery.
+            kept.drop("commit_id").repartition(1).write.mode("overwrite").parquet(
+                f"{tmp}/commit_id=gc0"
+            )
         else:
             kept.write.mode("overwrite").partitionBy("commit_id").parquet(tmp)
         # prove the rewrite is readable BEFORE the swap discards src
-        assert spark.read.parquet(tmp).count() == n_kept
+        # (a raise, not an assert: python -O must not silence the check)
+        n_tmp = spark.read.parquet(tmp).count()
+        if n_tmp != n_kept:
+            raise RuntimeError(
+                f"compact_store: rewrite of {name} is not readable back "
+                f"({n_tmp} rows != {n_kept} kept) — aborting before swap"
+            )
         _swap_in(src, tmp)
         stats[name] = {
             "rows_before": before,

@@ -275,6 +275,116 @@ def test_compact_replay_after_partial_crash(spark, tmp_path):
         assert _topk(spark, sink, qs) == _topk(spark, sink2, qs), qs
 
 
+def test_compact_replay_after_docs_swap_crash(spark, tmp_path):
+    """The LATE crash window: buckets AND the docs table are swapped but
+    the crash hit before the tstats/meta rewrite and the fold markers.
+    The replay then sees an empty fold set (the anti-join runs against
+    the already-updated docs table) and takes the nothing-to-re-encode
+    path — which must still refresh tstats/meta before marking folded,
+    or df/N/avgdl stay pre-fold forever and BM25 silently diverges from
+    a rebuild."""
+    import json
+    import shutil
+
+    batch = _mk(spark, _NARROW)
+    sink = IndexSink(str(tmp_path / "idx"), n_buckets=8)
+    sink.build(batch, url_cols=None)
+    tstats_dir = os.path.join(sink.root, "tstats")
+    tstats_backup = str(tmp_path / "tstats_pre")
+    shutil.copytree(tstats_dir, tstats_backup)
+    meta_backup = open(os.path.join(sink.root, "meta.json")).read()
+
+    corpus_dir = str(tmp_path / "in")
+    store = str(tmp_path / "store")
+    os.makedirs(corpus_dir)
+    stream_docs = _mk(spark, _CHANGED_V2 + _NEW)
+    stream_docs.coalesce(1).write.mode("append").parquet(corpus_dir)
+    q = incremental_index_stream(spark, corpus_dir, store, str(tmp_path / "ckpt"))
+    assert q.awaitTermination(120)
+
+    assert compact_into_index(spark, sink, store)["status"] == "compacted"
+
+    # rewind to the crash point: blocks + docs are post-fold, tstats and
+    # meta are pre-fold, no fold markers
+    shutil.rmtree(tstats_dir)
+    shutil.copytree(tstats_backup, tstats_dir)
+    with open(os.path.join(sink.root, "meta.json"), "w") as fh:
+        fh.write(meta_backup)
+    shutil.rmtree(os.path.join(store, "_folded"))
+
+    res = compact_into_index(spark, sink, store)
+    assert res["status"] == "folded_empty"  # nothing left to re-encode...
+
+    # ...but the side tables must now equal a from-scratch rebuild
+    final = (
+        batch.join(
+            _mk(spark, _CHANGED_V2).select("repo", "path"),
+            ["repo", "path"],
+            "left_anti",
+        ).unionByName(stream_docs)
+    )
+    sink2 = IndexSink(str(tmp_path / "idx2"), n_buckets=8)
+    sink2.build(final, url_cols=None)
+    _b, t1, _d, meta1 = sink.read(spark)
+    _b, t2, _d, meta2 = sink2.read(spark)
+    assert meta1["N"] == meta2["N"]
+    assert meta1["avgdl"] == meta2["avgdl"]
+    assert {(r["term"], r["df"]) for r in t1.collect()} == {
+        (r["term"], r["df"]) for r in t2.collect()
+    }
+    for qs in QUERIES:
+        assert _topk(spark, sink, qs) == _topk(spark, sink2, qs), qs
+    # and the replay marked the commits folded: next call is a clean noop
+    assert compact_into_index(spark, sink, store)["status"] == "noop"
+
+
+def test_compact_store_gcs_folded_commits(spark, tmp_path):
+    """After a fold, the store's postings/dstats rows for folded commits
+    are dead bytes (served by the index, excluded by every read path) —
+    compact_store must reclaim them, keep the docmap ledger's history,
+    and leave the store in a layout the RESUMED stream can keep writing
+    into (partition-dir empty rewrite, not a flat part file)."""
+    from search_engine_spark.streaming import (
+        compact_store,
+        folded_commits,
+        read_live_postings,
+    )
+
+    batch = _mk(spark, _NARROW)
+    sink = IndexSink(str(tmp_path / "idx"), n_buckets=8)
+    sink.build(batch, url_cols=None)
+
+    corpus_dir = str(tmp_path / "in")
+    store = str(tmp_path / "store")
+    os.makedirs(corpus_dir)
+    _mk(spark, _NEW).coalesce(1).write.mode("append").parquet(corpus_dir)
+    q = incremental_index_stream(spark, corpus_dir, store, str(tmp_path / "ck1"))
+    assert q.awaitTermination(120)
+
+    assert compact_into_index(spark, sink, store)["status"] == "compacted"
+    assert len(folded_commits(store)) == 1
+    assert spark.read.parquet(f"{store}/postings").count() > 0  # dead bytes
+
+    stats = compact_store(spark, store)
+    # folded postings/dstats reclaimed; docmap history intact
+    assert stats["postings"]["rows_after"] == 0
+    assert stats["dstats"]["rows_after"] == 0
+    assert stats["docmap"]["rows_after"] == 2
+    assert spark.read.parquet(f"{store}/postings").count() == 0
+
+    # the RESUMED stream writes new commit partitions next to the empty
+    # rewrite — every read path must still work (layout regression gate)
+    _mk(spark, _CHANGED_V2).coalesce(1).write.mode("append").parquet(corpus_dir)
+    q = incremental_index_stream(spark, corpus_dir, store, str(tmp_path / "ck1"))
+    assert q.awaitTermination(120)
+    assert read_live_postings(spark, store).count() > 0
+    # and the NEXT fold sees only the new commits (folded GC didn't
+    # disturb replay bookkeeping)
+    res = compact_into_index(spark, sink, store)
+    assert res["status"] == "compacted"
+    assert res["n_new_docs"] == 2 and res["n_retired"] == 2
+
+
 def test_store_channel_pinned_across_restarts(spark, tmp_path):
     """A store remembers its tokenization channel: restarting the stream
     with different url_cols must fail before ingesting a single row."""

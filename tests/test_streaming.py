@@ -292,7 +292,62 @@ def test_compaction_with_empty_live_set(spark, tmp_path):
     assert stats["docmap"]["rows_after"] == 24
     stats2 = compact_store(spark, store)
     assert stats2["postings"]["rows_after"] == 0
+
+    # the RESUMED stream writes commit_id=... partition dirs next to the
+    # empty rewrite; partition discovery must not see conflicting depths
+    # (the empty rewrite keeps the partitioned layout via a never-
+    # committed gc0 partition, not a flat part file)
+    v3 = v1.withColumn("commit", F.concat(F.lit("v3-"), "commit"))
+    v3.coalesce(1).write.mode("append").parquet(corpus_dir)
+    q = incremental_index_stream(spark, corpus_dir, store, str(tmp_path / "ck"))
+    _await(q)
+    assert read_live_postings(spark, store).count() > 0
+    assert read_live_dstats(spark, store).count() == 12  # v3 wins every path
     v1.unpersist()
+
+
+def test_batch_token_collision_backstop(spark, tmp_path):
+    """The whole-batch skip is keyed by a 64-bit (count, xor-of-xxhash64)
+    token; a colliding token from a DIFFERENT doc set must not silently
+    drop the batch. Simulated by pre-committing a marker with exactly
+    the token the incoming batch will compute, with no docmap rows
+    behind it: the exact backstop (all doc_ids already committed?) must
+    detect the mismatch and ingest the batch under a seq-salted token."""
+    from search_engine_spark.streaming import committed_commits, read_live_postings
+    from search_engine_spark.streaming.jobs import _mark_committed
+
+    corpus_dir = str(tmp_path / "in")
+    store = str(tmp_path / "store")
+    os.makedirs(corpus_dir)
+    docs = generate_corpus(spark, 25).cache()
+    docs.coalesce(1).write.mode("append").parquet(corpus_dir)
+
+    # the token process_batch will derive for this batch
+    sig = (
+        with_doc_id(docs)
+        .dropDuplicates(["doc_id"])
+        .agg(F.count("*").alias("n"), F.bit_xor(F.xxhash64("doc_id")).alias("x"))
+        .collect()[0]
+    )
+    token = f"c{int(sig['n'])}-{int(sig['x']) & (2**64 - 1):016x}"
+    _mark_committed(store, token, 0, int(sig["n"]))  # forged/colliding marker
+
+    q = incremental_index_stream(spark, corpus_dir, store, str(tmp_path / "ck"))
+    _await(q)
+    # the batch was NOT dropped: ingested under the seq-salted token
+    assert read_live_postings(spark, store).count() > 0
+    committed = committed_commits(store)
+    assert f"{token}-x1" in committed and len(committed) == 2
+    assert spark.read.parquet(f"{store}/docmap").count() == 25
+
+    # a TRUE replay (same docs, fresh checkpoint) is still a no-op: the
+    # backstop finds every doc_id already committed and skips
+    docs.coalesce(1).write.mode("append").parquet(corpus_dir)
+    q = incremental_index_stream(spark, corpus_dir, store, str(tmp_path / "ck2"))
+    _await(q)
+    assert committed_commits(store) == committed
+    assert spark.read.parquet(f"{store}/docmap").count() == 25
+    docs.unpersist()
 
 
 def test_read_paths_on_empty_store(spark, tmp_path):
