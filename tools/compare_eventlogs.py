@@ -62,6 +62,18 @@ def _collect(path: str) -> tuple[dict, float, float]:
                 (ti.get("Finish Time", 0) or 0) - (ti.get("Launch Time", 0) or 0)
             )
             st["n_tasks"] = st.get("n_tasks", 0) + 1
+            tm = e.get("Task Metrics") or {}
+            # memory-pressure vs bandwidth discriminators: spill bytes
+            # (execution memory exceeded → sorter/aggregator spills),
+            # JVM GC time (heap pressure), shuffle bytes (bus traffic)
+            st["spill"] = st.get("spill", 0) + (tm.get("Disk Bytes Spilled") or 0)
+            st["gc_ms"] = st.get("gc_ms", 0) + (tm.get("JVM GC Time") or 0)
+            sw = tm.get("Shuffle Write Metrics") or {}
+            st["sh_w"] = st.get("sh_w", 0) + (sw.get("Shuffle Bytes Written") or 0)
+            sr = tm.get("Shuffle Read Metrics") or {}
+            st["sh_r"] = st.get("sh_r", 0) + (
+                (sr.get("Remote Bytes Read") or 0) + (sr.get("Local Bytes Read") or 0)
+            )
 
     # merge by normalized stage name (stage IDs differ between runs;
     # strip the "$anonfun$..." suffixes and callsite line numbers)
@@ -69,12 +81,16 @@ def _collect(path: str) -> tuple[dict, float, float]:
     for st in stages.values():
         name = re.sub(r"[\d.]+$", "", st.get("name", "?")).strip()
         agg = by_name.setdefault(
-            name, {"wall_ms": 0, "task_ms": 0, "n_tasks": 0, "n_stages": 0}
+            name,
+            {"wall_ms": 0, "task_ms": 0, "n_tasks": 0, "n_stages": 0,
+             "spill": 0, "gc_ms": 0, "sh_w": 0, "sh_r": 0},
         )
         agg["wall_ms"] += st.get("wall_ms", 0)
         agg["task_ms"] += st.get("task_ms", 0)
         agg["n_tasks"] += st.get("n_tasks", 0)
         agg["n_stages"] += 1
+        for k in ("spill", "gc_ms", "sh_w", "sh_r"):
+            agg[k] += st.get(k, 0)
 
     wall = (app_end - app_start) / 1000 if app_start and app_end else 0.0
     ivs = sorted(
@@ -108,22 +124,36 @@ def main() -> None:
     lo_cpu = sum(s["task_ms"] for s in lo.values()) / 1000
     hi_cpu = sum(s["task_ms"] for s in hi.values()) / 1000
     print(f"total task CPU: N={lo_cpu:.1f}s  4N={hi_cpu:.1f}s  (inflation {hi_cpu / max(lo_cpu, 1e-9):.3f}x)")
+    gb = 1 << 30
+    for lbl, side in (("N", lo), ("4N", hi)):
+        print(
+            f"totals {lbl:>2}: spill={sum(s['spill'] for s in side.values()) / gb:.2f}G "
+            f"gc={sum(s['gc_ms'] for s in side.values()) / 1000:.1f}s "
+            f"shW={sum(s['sh_w'] for s in side.values()) / gb:.2f}G "
+            f"shR={sum(s['sh_r'] for s in side.values()) / gb:.2f}G"
+        )
     print()
-    print(f"{'wall_N':>8} {'wall_4N':>8} {'spd':>5} | {'cpu_N':>8} {'cpu_4N':>8} {'infl':>6} | name")
+    print(
+        f"{'wall_N':>7} {'wall_4N':>7} {'spd':>5} | {'cpu_N':>7} {'cpu_4N':>7} {'infl':>6} | "
+        f"{'splN':>5} {'spl4N':>5} | {'gcN':>5} {'gc4N':>5} | name"
+    )
     rows = sorted(
         set(lo) | set(hi),
         key=lambda n: -(lo.get(n, {}).get("wall_ms", 0)),
     )
+    zero = {"wall_ms": 0, "task_ms": 0, "spill": 0, "gc_ms": 0, "sh_w": 0, "sh_r": 0}
     for name in rows:
-        a = lo.get(name, {"wall_ms": 0, "task_ms": 0})
-        b = hi.get(name, {"wall_ms": 0, "task_ms": 0})
+        a = {**zero, **lo.get(name, {})}
+        b = {**zero, **hi.get(name, {})}
         if a["wall_ms"] < 2000 and b["wall_ms"] < 2000:
             continue  # noise floor
         spd = a["wall_ms"] / b["wall_ms"] if b["wall_ms"] else float("inf")
         infl = b["task_ms"] / a["task_ms"] if a["task_ms"] else float("inf")
         print(
-            f"{a['wall_ms'] / 1000:>8.1f} {b['wall_ms'] / 1000:>8.1f} {spd:>5.2f} | "
-            f"{a['task_ms'] / 1000:>8.1f} {b['task_ms'] / 1000:>8.1f} {infl:>6.3f} | {name[:60]}"
+            f"{a['wall_ms'] / 1000:>7.1f} {b['wall_ms'] / 1000:>7.1f} {spd:>5.2f} | "
+            f"{a['task_ms'] / 1000:>7.1f} {b['task_ms'] / 1000:>7.1f} {infl:>6.3f} | "
+            f"{a['spill'] / gb:>5.2f} {b['spill'] / gb:>5.2f} | "
+            f"{a['gc_ms'] / 1000:>5.1f} {b['gc_ms'] / 1000:>5.1f} | {name[:48]}"
         )
 
 
