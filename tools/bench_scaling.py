@@ -276,10 +276,11 @@ def main() -> None:
     # in BENCH/c4_stage_analysis.md from event-logged instrumented pairs;
     # included verbatim so regenerating this file never loses it
     c4_section = ""
-    c4_path = os.path.join(REPO, "BENCH", "c4_stage_analysis.md")
-    if os.path.exists(c4_path):
-        with open(c4_path) as f:
-            c4_section = f.read().rstrip() + "\n\n"
+    for fname in ("c4_stage_analysis.md", "c2_800k_stage_analysis.md"):
+        p = os.path.join(REPO, "BENCH", fname)
+        if os.path.exists(p):
+            with open(p) as f:
+                c4_section += f.read().rstrip() + "\n\n"
 
     hw_section = ""
     mb_path = os.path.join(REPO, "BENCH", "membench.json")
