@@ -1,0 +1,54 @@
+"""Summarize BENCH/r04_ab_pool.jsonl (tools/r4_ab_regression.sh output):
+pairwise HEAD vs round-2-code files/sec under the SAME host window.
+
+Prints a markdown table plus the paired statistics that answer the
+r3-verdict question: is the r2->r3 files/sec delta engine or host?
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    path = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
+        REPO, "BENCH", "r04_ab_pool.jsonl"
+    )
+    pairs: dict[int, dict] = {}
+    with open(path) as f:
+        for line in f:
+            e = json.loads(line)
+            pairs.setdefault(e["pair"], {})[e["side"]] = e
+    rows, ratios = [], []
+    for i in sorted(pairs):
+        p = pairs[i]
+        if "head" not in p or "r2" not in p:
+            continue
+        h, r = p["head"], p["r2"]
+        ratio = h["files_per_sec"] / r["files_per_sec"]
+        ratios.append(ratio)
+        rows.append(
+            f"| {i} | {h['files_per_sec']:.0f} | {r['files_per_sec']:.0f} "
+            f"| {ratio:.3f} | {h['doc_stats']:.1f} | {r['doc_stats']:.1f} "
+            f"| {h['load0_pre']:.1f} |"
+        )
+    if not ratios:
+        raise SystemExit(f"no complete pairs in {path}")
+    ratios.sort()
+    med = ratios[len(ratios) // 2]
+    print("| pair | HEAD files/s | r2-code files/s | HEAD/r2 | "
+          "doc_stats HEAD s | doc_stats r2 s | load0 |")
+    print("|---|---|---|---|---|---|---|")
+    print("\n".join(rows))
+    print()
+    print(f"paired-median HEAD/r2 throughput ratio: **{med:.3f}** "
+          f"(n={len(ratios)}; 1.0 = no engine regression; "
+          f"the r3-vs-r2 headline ratio under test was 2297/2658 = 0.864)")
+
+
+if __name__ == "__main__":
+    main()
