@@ -30,7 +30,11 @@ print(json.dumps({"side": side, "pair": $i, "load0_pre": load,
                   "doc_stats": r["phases"]["doc_stats"],
                   "steal_pct": r.get("steal_pct")}))
 PYEOF
-    echo "pair $i $side done load_pre=$L"
+    if [ $? -ne 0 ]; then
+      echo "pair $i $side FAILED (empty/invalid bench output — timeout or crash); not recorded"
+    else
+      echo "pair $i $side done load_pre=$L"
+    fi
   done
 done
 echo AB_DONE

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -38,8 +39,9 @@ def main() -> None:
         )
     if not ratios:
         raise SystemExit(f"no complete pairs in {path}")
-    ratios.sort()
-    med = ratios[len(ratios) // 2]
+    # true median — interpolated on even n (sorted()[n//2] would take
+    # the upper middle element and bias the published ratio upward)
+    med = statistics.median(ratios)
     print("| pair | HEAD files/s | r2-code files/s | HEAD/r2 | "
           "doc_stats HEAD s | doc_stats r2 s | load0 |")
     print("|---|---|---|---|---|---|---|")
