@@ -126,7 +126,12 @@ def _read_committed(spark: SparkSession, store_dir: str, name: str) -> DataFrame
     if not os.path.isdir(f"{store_dir}/{name}"):
         return None
     committed = sorted(committed_commits(store_dir))
-    df = spark.read.parquet(f"{store_dir}/{name}")
+    # mergeSchema: docmap carries the input's passthrough metadata
+    # columns, so a store whose early commits were written by an input
+    # with FEWER columns (e.g. pre-lang) must not have its schema
+    # sampled from one arbitrary file — merge unions all commit schemas
+    # and nulls the columns absent in older partitions.
+    df = spark.read.option("mergeSchema", "true").parquet(f"{store_dir}/{name}")
     return df.where(F.col("commit_id").isin(committed))
 
 
@@ -153,6 +158,19 @@ def _write_store_meta(store_dir: str, url_cols) -> None:
                 f"{have.get('url_cols')}, asked for {want['url_cols']}"
             )
         return
+    if committed_commits(store_dir):
+        # fail CLOSED: a store with committed history but no meta file
+        # (created before the channel guard existed, or foreign) has an
+        # unverifiable tokenization channel — stamping the new stream's
+        # channel onto it would let mixed term spaces through the very
+        # check this file exists to enforce.
+        raise ValueError(
+            f"store {store_dir} has committed history but no "
+            "_store_meta.json, so its tokenization channel cannot be "
+            "verified. Write _store_meta.json manually with the "
+            "url_cols its history was actually ingested under "
+            '(e.g. {"url_cols": []}) before streaming into it.'
+        )
     os.makedirs(store_dir, exist_ok=True)
     with open(p + ".tmp", "w") as fh:
         json.dump(want, fh)
@@ -454,6 +472,38 @@ def decode_block_postings(blocks: DataFrame) -> DataFrame:
     return blocks.select(*cols).mapInPandas(decode, schema=_DECODED_POSTINGS_SCHEMA)
 
 
+def decode_block_doc_ids(blocks: DataFrame) -> DataFrame:
+    """Doc-stream-only decode: (term, doc_id) rows from block rows.
+    Projects ONLY term + doc_bytes, so Parquet column pruning never
+    reads the tf/dl/uf/position streams — which dominate block bytes.
+    This is the retirement-discovery path of :func:`compact_into_index`
+    ("which terms contain these doc_ids"); the full
+    :func:`decode_block_postings` stays the rebuild path."""
+    import numpy as np
+
+    from ..codec import decode_doc_ids
+
+    def decode(iterator: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in iterator:
+            terms, dids = [], []
+            for r in pdf.itertuples(index=False):
+                d = decode_doc_ids(r.doc_bytes)
+                dids.append(d)
+                terms.append(np.full(d.size, r.term, dtype=object))
+            if not dids:
+                continue
+            yield pd.DataFrame(
+                {
+                    "term": np.concatenate(terms),
+                    "doc_id": np.concatenate(dids).astype(np.int64),
+                }
+            )
+
+    return blocks.select("term", "doc_bytes").mapInPandas(
+        decode, schema="term string, doc_id bigint"
+    )
+
+
 def _recover_index_compaction(root: str) -> None:
     """Make a block index whole after a crash mid bucket/docs swap: a
     ``*.old`` sibling with its final dir missing is restored; with the
@@ -518,8 +568,14 @@ def compact_into_index(
     Scale shape (the 100 TB question): cost ∝ |touched buckets| ×
     bucket size + |stream batch|, never corpus size. New-term buckets
     come straight from the new postings; retired-doc buckets need one
-    doc-stream-only decode pass over blocks of the retired ids' shards
-    (1/n_shards of the index, tf/pos streams never read). The re-encode
+    doc-stream-only discovery pass (:func:`decode_block_doc_ids`) that
+    projects ONLY term + doc_bytes — the tf/dl/uf/position streams,
+    which dominate block bytes, are column-pruned at the Parquet scan —
+    filtered to the retired ids' shards (shard is a stored column, not
+    a partition key, so the filter prunes decode work row-by-row;
+    row-group pruning on it is best-effort because files are clustered
+    by (term, shard)); the ids themselves stay a distributed semi-join
+    side, never a driver collect. The re-encode
     reuses the build's exchange geometry ((bucket, shard%fpb) partitions,
     partition-local sort, streaming Arrow encoder).
 
@@ -618,15 +674,25 @@ def compact_into_index(
         for r in with_bucket(new_full.select("term").distinct(), n_buckets)
         .select("bucket").distinct().collect()
     }
-    retired_ids = [int(r["doc_id"]) for r in retired.collect()]
+    # retired is used three times (shard probe, hit-term semi-join, docs
+    # anti-join) — persist; it never reaches the driver as rows: only
+    # its ≤ n_shards distinct shard values collect (bucket-pruning
+    # literals), the ids themselves stay a distributed semi-join side.
+    retired = retired.persist()
+    n_retired = retired.count()
     blocks_root = os.path.join(root, "blocks")
     blocks = spark.read.option("basePath", blocks_root).parquet(blocks_root)
-    if retired_ids:
-        shards = sorted({i % n_shards for i in retired_ids})
+    if n_retired:
+        shards = sorted(
+            int(r["shard"])
+            for r in retired.select(
+                F.pmod(F.col("doc_id"), F.lit(n_shards)).cast("int").alias("shard")
+            ).distinct().collect()
+        )
         cand = blocks.where(F.col("shard").isin(shards))
         hit_terms = (
-            decode_block_postings(cand)
-            .where(F.col("doc_id").isin(retired_ids))
+            decode_block_doc_ids(cand)
+            .join(retired, "doc_id", "left_semi")
             .select("term").distinct()
         )
         touched |= {
@@ -648,6 +714,7 @@ def compact_into_index(
         # no-op when they were already consistent).
         _refresh_index_side_tables(spark, root, meta, enc_avgdl)
         _mark_folded(store_dir, pending)
+        retired.unpersist()
         return {"status": "folded_empty", "touched_buckets": [],
                 "n_new_docs": 0, "n_retired": 0, "folded": pending}
 
@@ -713,10 +780,19 @@ def compact_into_index(
     # docs side table: retire superseded rows, add the folded docs (doclen
     # 0 for token-less docs); rewrite via tmp + swap (can't overwrite a
     # table being read)
+    folded_docs = new_docs.join(new_dl, "doc_id", "left").withColumn(
+        "doclen", F.coalesce(F.col("doclen"), F.lit(0)).cast("int")
+    )
+    # a store whose docmap commits ALL predate a passthrough metadata
+    # column (pre-upgrade schema) has no such column even after the
+    # mergeSchema read — fold it as nulls of the docs table's type
+    for c in meta_cols:
+        if c not in folded_docs.columns:
+            folded_docs = folded_docs.withColumn(
+                c, F.lit(None).cast(docs_tbl.schema[c].dataType)
+            )
     docs_new = docs_tbl.join(retired, "doc_id", "left_anti").unionByName(
-        new_docs.join(new_dl, "doc_id", "left")
-        .withColumn("doclen", F.coalesce(F.col("doclen"), F.lit(0)).cast("int"))
-        .select("doc_id", *meta_cols, "doclen")
+        folded_docs.select("doc_id", *meta_cols, "doclen")
     )
     docs_tmp = os.path.join(root, "docs.tmp")
     shutil.rmtree(docs_tmp, ignore_errors=True)
@@ -725,11 +801,12 @@ def compact_into_index(
 
     _refresh_index_side_tables(spark, root, meta, enc_avgdl)
     _mark_folded(store_dir, pending)
+    retired.unpersist()
     return {
         "status": "compacted",
         "touched_buckets": touched_l,
         "n_new_docs": int(n_new),
-        "n_retired": len(retired_ids),
+        "n_retired": int(n_retired),
         "folded": pending,
     }
 

@@ -405,6 +405,68 @@ def test_store_channel_pinned_across_restarts(spark, tmp_path):
         incremental_index_stream(spark, corpus_dir, store, str(tmp_path / "ck2"))
 
 
+def test_old_docmap_schema_still_reads_and_folds(spark, tmp_path):
+    """A store whose earlier docmap commits were written by an input
+    WITHOUT a passthrough column (pre-upgrade schema) must still read
+    and fold: _read_committed merges commit schemas, nulling the column
+    for old rows, instead of sampling one arbitrary file's schema."""
+    import shutil
+
+    batch = _mk(spark, _NARROW)
+    sink = IndexSink(str(tmp_path / "idx"), n_buckets=N_BUCKETS)
+    sink.build(batch)
+
+    corpus_dir = str(tmp_path / "in")
+    store = str(tmp_path / "store")
+    os.makedirs(corpus_dir)
+    _mk(spark, _NEW).coalesce(1).write.mode("append").parquet(corpus_dir)
+    q = incremental_index_stream(
+        spark, corpus_dir, store, str(tmp_path / "ck"),
+        url_cols=("repo", "path"),
+    )
+    assert q.awaitTermination(120)
+
+    # simulate the pre-upgrade commit: strip `lang` from its docmap
+    from search_engine_spark.streaming import committed_commits
+
+    token = next(iter(committed_commits(store)))
+    part = os.path.join(store, "docmap", f"commit_id={token}")
+    old_rows = spark.read.parquet(part).drop("lang").collect()
+    old = spark.createDataFrame(old_rows)
+    tmp = part + ".rewrite"
+    old.write.parquet(tmp)
+    shutil.rmtree(part)
+    os.rename(tmp, part)
+
+    res = compact_into_index(spark, sink, store)
+    assert res["status"] == "compacted" and res["n_new_docs"] == 2
+    folded = sink.docs(spark).where(F.col("path").isin("d.py", "e.py"))
+    assert folded.count() == 2
+    assert folded.where(F.col("lang").isNull()).count() == 2
+
+
+def test_premeta_store_with_history_fails_closed(spark, tmp_path):
+    """A store with committed history but NO _store_meta.json (created
+    before the channel guard, or foreign) must refuse new ingest: its
+    historical tokenization channel is unverifiable, and stamping the
+    new stream's channel onto it would silently mix term spaces."""
+    import pytest
+
+    corpus_dir = str(tmp_path / "in")
+    store = str(tmp_path / "store")
+    os.makedirs(corpus_dir)
+    _mk(spark, _NARROW).coalesce(1).write.mode("append").parquet(corpus_dir)
+    q = incremental_index_stream(spark, corpus_dir, store, str(tmp_path / "ck1"))
+    assert q.awaitTermination(120)
+
+    os.remove(os.path.join(store, "_store_meta.json"))  # pre-guard store
+    with pytest.raises(ValueError, match="cannot be verified"):
+        incremental_index_stream(
+            spark, corpus_dir, store, str(tmp_path / "ck2"),
+            url_cols=("repo", "path"),
+        )
+
+
 def test_compact_channel_mismatch_raises(spark, tmp_path):
     """A plain-tokenized store must not fold into a URL-channel index."""
     import pytest

@@ -314,7 +314,7 @@ def test_batch_token_collision_backstop(spark, tmp_path):
     behind it: the exact backstop (all doc_ids already committed?) must
     detect the mismatch and ingest the batch under a seq-salted token."""
     from search_engine_spark.streaming import committed_commits, read_live_postings
-    from search_engine_spark.streaming.jobs import _mark_committed
+    from search_engine_spark.streaming.jobs import _mark_committed, _write_store_meta
 
     corpus_dir = str(tmp_path / "in")
     store = str(tmp_path / "store")
@@ -330,6 +330,9 @@ def test_batch_token_collision_backstop(spark, tmp_path):
         .collect()[0]
     )
     token = f"c{int(sig['n'])}-{int(sig['x']) & (2**64 - 1):016x}"
+    # any real store with committed history carries its channel meta
+    # (stores with markers but no meta now fail closed at stream start)
+    _write_store_meta(store, None)
     _mark_committed(store, token, 0, int(sig["n"]))  # forged/colliding marker
 
     q = incremental_index_stream(spark, corpus_dir, store, str(tmp_path / "ck"))
