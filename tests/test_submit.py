@@ -38,6 +38,30 @@ def test_submit_index_build_cli(spark, corpus, tmp_path):
     shutil.rmtree(out, ignore_errors=True)
 
 
+def test_submit_index_build_table_identifier(spark, corpus, tmp_path):
+    """--corpus without a '/' resolves through the session catalog —
+    the Iceberg-table input shape (catalog.db.table under spark-submit);
+    exercised here via a registered view, the same read.table path."""
+    out = str(tmp_path / "idx_tbl")
+    corpus.select("repo", "path", "commit", "lang", "content").createOrReplaceTempView(
+        "corpus_tbl"
+    )
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    try:
+        import submit_index_build
+
+        with __import__("pytest").raises(SystemExit) as ei:
+            submit_index_build.main(
+                ["--corpus", "corpus_tbl", "--out", out, "--buckets", "4",
+                 "--buckets-per-wave", "4"]
+            )
+        assert ei.value.code == 0
+    finally:
+        sys.path.pop(0)
+    assert os.path.exists(os.path.join(out, "meta.json"))
+    shutil.rmtree(out, ignore_errors=True)
+
+
 def test_make_pyfiles_zip(tmp_path):
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "tools", "make_pyfiles.py")],

@@ -26,9 +26,25 @@ import sys
 from pyspark.sql import SparkSession
 
 
+def read_corpus(spark: SparkSession, src: str):
+    """Resolve --corpus: a path (has '/' or a scheme) reads as parquet;
+    anything else is a TABLE IDENTIFIER resolved by the session catalog
+    — which is how an Iceberg table arrives under spark-submit
+    (``--conf spark.sql.catalog.<name>=org.apache.iceberg.spark.SparkCatalog``
+    then ``--corpus <name>.db.corpus``). The engine itself is
+    storage-agnostic: everything downstream is one DataFrame."""
+    if "/" in src or "://" in src:
+        return spark.read.parquet(src)
+    return spark.read.table(src)
+
+
 def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--corpus", required=True, help="input parquet/Iceberg path")
+    p.add_argument(
+        "--corpus", required=True,
+        help="input: parquet path, or a catalog table identifier "
+        "(Iceberg/Hive/temp view) when it contains no '/'",
+    )
     p.add_argument("--out", required=True, help="index root (sink layout)")
     p.add_argument("--buckets", type=int, default=None, help="term buckets (commit units)")
     p.add_argument("--shards", type=int, default=None, help="doc shards (skew salt)")
@@ -50,7 +66,7 @@ def main(argv: list[str] | None = None) -> None:
     spark = SparkSession.builder.appName("search_engine_spark.index_build").getOrCreate()
     spark.conf.set("spark.sql.adaptive.enabled", "true")
 
-    corpus = spark.read.parquet(args.corpus)
+    corpus = read_corpus(spark, args.corpus)
     sink = IndexSink(args.out, n_buckets=args.buckets or C.N_TERM_BUCKETS)
     res = sink.build(
         corpus,
