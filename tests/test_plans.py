@@ -231,6 +231,26 @@ def test_composed_neardup_pipeline_has_shingle_cap(spark):
     assert "_df" not in _plan(jaccard_dup_pairs(d))  # exact/oracle mode
 
 
+def test_retired_discovery_decoder_prunes_posting_streams(spark, tmp_path):
+    """compact_into_index's retired-doc discovery must never read the
+    tf/dl/uf/position streams (they dominate block bytes): the
+    doc-stream-only decoder's scan schema is term + shard + doc_bytes
+    and nothing else — Parquet column pruning, verified in the plan."""
+    from search_engine_spark.sink import IndexSink
+    from search_engine_spark.streaming import decode_block_doc_ids
+
+    root = str(tmp_path / "idx")
+    IndexSink(root, n_buckets=8).build(generate_corpus(spark, 50))
+    blocks = spark.read.option("basePath", f"{root}/blocks").parquet(f"{root}/blocks")
+    plan = _plan(decode_block_doc_ids(blocks.where("shard in (0, 1)")))
+    import re
+
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    read_cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert read_cols == {"term", "shard", "doc_bytes"}, plan
+
+
 def test_subtoken_channel_single_scan_no_shuffle(docs):
     """The subtoken channel must read the corpus ONCE (a union of two
     branches would scan the parquet twice — 2x I/O at 100 TB) and stay
