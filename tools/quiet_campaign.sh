@@ -1,0 +1,36 @@
+#!/bin/bash
+# Load-gated scaling-pool campaign: run N bench_scaling.py pairs, but
+# start each pair only inside a quiet host window (1-min loadavg below
+# a threshold). The sandbox VM is heavily co-tenant (same-code
+# files/sec swings 349-3393 across windows; see BENCH/r04_regression.md)
+# and in-VM load0/steal do NOT predict co-tenant pressure — but load0
+# does detect OUR OWN leftover work and the co-tenants that surface as
+# runnable threads, so gating on it avoids the avoidable collisions.
+# History is append-only and the report regenerates from the full pool,
+# so contended pairs that slip through still enter the pool honestly.
+#
+# Usage: tools/quiet_campaign.sh N_PAIRS [MAX_LOAD] [MAX_WAIT_S]
+#   env: SPARK_GRAFT_SCALING_NDOCS / SPARK_GRAFT_EXECUTOR_CORES select
+#   the pool, exactly as for tools/bench_scaling.py.
+set -u
+cd "$(dirname "$0")/.."
+PAIRS=${1:?usage: quiet_campaign.sh N_PAIRS [MAX_LOAD] [MAX_WAIT_S]}
+MAX_LOAD=${2:-1.0}
+MAX_WAIT=${3:-3600}
+for i in $(seq 1 "$PAIRS"); do
+  waited=0
+  while :; do
+    load=$(cut -d' ' -f1 /proc/loadavg)
+    ok=$(awk -v l="$load" -v m="$MAX_LOAD" 'BEGIN{print (l<=m)?1:0}')
+    [ "$ok" = 1 ] && break
+    if [ "$waited" -ge "$MAX_WAIT" ]; then
+      echo "=== pair $i: no quiet window within ${MAX_WAIT}s (load=$load) — running anyway"
+      break
+    fi
+    sleep 30
+    waited=$((waited + 30))
+  done
+  echo "=== pair $i $(date -u +%H:%M:%S) load=$(cut -d' ' -f1 /proc/loadavg) (waited ${waited}s)"
+  python tools/bench_scaling.py "${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1}" 2>&1 | tail -2
+done
+echo CAMPAIGN_DONE
