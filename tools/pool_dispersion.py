@@ -1,0 +1,77 @@
+"""Per-level throughput dispersion across the recorded scaling pools.
+
+The scaling-efficiency pools (BENCH/history.jsonl) pair an N-level and a
+4N-level bench.py invocation. On this shared single-socket sandbox VM,
+co-tenant bursts hit the two levels asymmetrically: a level occupying a
+small slice of the socket (N at C cores) barely notices them, while the
+4N level (4C busy cores) needs the whole socket's memory bandwidth and
+collapses when a burst lands. This script quantifies that asymmetry —
+min / median / max / CV of files_per_sec per level per pool — which is
+the co-tenant signature that in-VM load0/steal do NOT capture (see
+BENCH/r04_regression.md): same-code, same-level runs swing far more at
+the wide level than the narrow one.
+
+Usage: python tools/pool_dispersion.py  (prints a markdown table)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def pool_rows(hist_path: str | None = None) -> list[dict]:
+    hist_path = hist_path or os.path.join(REPO, "BENCH", "history.jsonl")
+    pools: dict[tuple, list] = {}
+    with open(hist_path) as f:
+        for line in f:
+            e = json.loads(line)
+            k = (
+                e.get("engine"),
+                e.get("n_docs"),
+                e.get("exec_cores"),
+                e.get("scratch"),
+                e.get("local", False),
+            )
+            pools.setdefault(k, []).append(e)
+    rows = []
+    for k, entries in sorted(pools.items(), key=str):
+        if len(entries) < 4:  # dispersion over tiny pools is meaningless
+            continue
+        row: dict = {
+            "engine": k[0],
+            "n_docs": k[1],
+            "exec_cores": k[2],
+            "scratch": k[3] or "shared disk",
+            "n": len(entries),
+        }
+        for lvl in ("lo", "hi"):
+            fps = [e[lvl]["files_per_sec"] for e in entries]
+            row[lvl] = {
+                "min": min(fps),
+                "med": statistics.median(fps),
+                "max": max(fps),
+                "cv_pct": 100.0 * statistics.pstdev(fps) / statistics.mean(fps),
+            }
+        rows.append(row)
+    return rows
+
+
+def main() -> None:
+    print("| pool | n | level | min fps | med fps | max fps | CV |")
+    print("|---|---|---|---|---|---|---|")
+    for r in pool_rows():
+        pool = f"{r['engine']} {r['n_docs']} C={r['exec_cores']} {r['scratch']}"
+        for lvl, label in (("lo", "N"), ("hi", "4N")):
+            s = r[lvl]
+            print(
+                f"| {pool} | {r['n']} | {label} | {s['min']:.0f} "
+                f"| {s['med']:.0f} | {s['max']:.0f} | {s['cv_pct']:.1f}% |"
+            )
+
+
+if __name__ == "__main__":
+    main()
