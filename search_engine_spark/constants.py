@@ -77,6 +77,13 @@ AGG_SALT = 16
 # F.crc32, letting the query driver prune buckets without a Spark job.
 # At 100 TB raise to O(1000); the commit protocol is unchanged.
 N_TERM_BUCKETS = 16
+# Doc-metadata buckets: the docs side table is partitioned by
+# dbucket = pmod(doc_id, N_DOC_META_BUCKETS), so an incremental fold
+# (streaming.compact_into_index) rewrites ONLY the buckets holding a
+# new or retired doc instead of the whole corpus-sized metadata table —
+# the docs-update cost becomes delta-proportional, like the blocks side.
+# At the 10^12-file target raise to O(10^5) (≈10^7 docs per bucket).
+N_DOC_META_BUCKETS = 16
 
 # --- Synthetic corpus generator (FIXTURES.md §1; seed mandated by TESTDATA.md) ---
 SEED = 42

@@ -210,14 +210,23 @@ class IndexSink:
           blocks/bucket=NN/*.parquet   encoded posting blocks (partition-pruned
                                        by the query path via term→bucket)
           tstats/                      term df side table
-          docs/                        doc metadata + doclen (result assembly)
+          docs/dbucket=NN/*.parquet    doc metadata + doclen (result assembly),
+                                       partitioned by pmod(doc_id, n_doc_buckets)
+                                       so an incremental fold rewrites only the
+                                       buckets holding a new/retired doc
           _manifest/bucket_NN.json     one commit record per bucket
           meta.json                    corpus stats + config + lineage summary
     """
 
-    def __init__(self, root: str, n_buckets: int = C.N_TERM_BUCKETS):
+    def __init__(
+        self,
+        root: str,
+        n_buckets: int = C.N_TERM_BUCKETS,
+        n_doc_buckets: int = C.N_DOC_META_BUCKETS,
+    ):
         self.root = root
         self.n_buckets = n_buckets
+        self.n_doc_buckets = n_doc_buckets
 
     # -- write path ---------------------------------------------------------
 
@@ -359,11 +368,24 @@ class IndexSink:
         )
         n_docs_est = corpus.count()
         doclen_side = F.broadcast(doclen_df) if n_docs_est <= 5_000_000 else doclen_df
+        # dbucket-partitioned layout (pmod(doc_id, n_doc_buckets)): an
+        # incremental fold (streaming.compact_into_index) rewrites only
+        # the buckets holding a new/retired doc — delta-proportional docs
+        # maintenance instead of a full corpus-metadata rewrite per fold.
+        # The repartition is one exchange of the CONTENT-FREE metadata
+        # rows (~tens of bytes/doc — negligible next to the corpus scan)
+        # and caps the layout at ≤1 file per (task, dbucket).
         (
             corpus_ids.select("doc_id", *meta_cols)
             .join(doclen_side, "doc_id", "left")
             .withColumn("doclen", F.coalesce(F.col("doclen"), F.lit(0)).cast("int"))
+            .withColumn(
+                "dbucket",
+                F.pmod(F.col("doc_id"), F.lit(self.n_doc_buckets)).cast("int"),
+            )
+            .repartition(self.n_doc_buckets, "dbucket")
             .write.mode("overwrite")
+            .partitionBy("dbucket")
             .parquet(docs_path)
         )
         docs_tbl = spark.read.parquet(docs_path)
@@ -553,6 +575,7 @@ class IndexSink:
             "engine": ENGINE_VERSION,
             "url_cols": list(url_cols) if url_cols else [],
             "built_buckets": self.n_buckets,
+            "n_doc_buckets": self.n_doc_buckets,
             "id_collisions_resolved": n_remapped,
             "wall_s_this_run": round(time.perf_counter() - t_start, 3),
             "resumed_buckets": len(done),
@@ -582,8 +605,12 @@ class IndexSink:
 
     def docs(self, spark: SparkSession) -> DataFrame:
         """The doc-metadata side table (doc_id + every non-content input
-        column) written at build time for result assembly."""
-        return spark.read.parquet(os.path.join(self.root, "docs"))
+        column) written at build time for result assembly. The physical
+        ``dbucket`` partition column is a maintenance detail (incremental
+        fold pruning) and dropped from the logical view; pre-dbucket
+        indexes read unchanged."""
+        df = spark.read.parquet(os.path.join(self.root, "docs"))
+        return df.drop("dbucket") if "dbucket" in df.columns else df
 
     def search_results(
         self,

@@ -505,32 +505,37 @@ def decode_block_doc_ids(blocks: DataFrame) -> DataFrame:
 
 
 def _recover_index_compaction(root: str) -> None:
-    """Make a block index whole after a crash mid bucket/docs swap: a
-    ``*.old`` sibling with its final dir missing is restored; with the
-    final dir present it is a discarded leftover. Stale _compact_tmp is
-    always a leftover (renames into place happen only after a full
+    """Make a block index whole after a crash mid bucket/docs/tstats swap:
+    a ``*.old`` sibling with its final dir missing is restored; with the
+    final dir present it is a discarded leftover. Stale tmp dirs are
+    always leftovers (renames into place happen only after a full
     write)."""
     import os
     import shutil
 
     shutil.rmtree(os.path.join(root, "_compact_tmp"), ignore_errors=True)
-    for base in ("docs",):
+    shutil.rmtree(os.path.join(root, "_compact_docs_tmp"), ignore_errors=True)
+    shutil.rmtree(os.path.join(root, "tstats.tmp"), ignore_errors=True)
+    shutil.rmtree(os.path.join(root, "docs.tmp"), ignore_errors=True)
+    for base in ("docs", "tstats"):
         old = os.path.join(root, base + ".old")
         if os.path.isdir(old):
             if os.path.isdir(os.path.join(root, base)):
                 shutil.rmtree(old)
             else:
                 os.rename(old, os.path.join(root, base))
-    blocks_root = os.path.join(root, "blocks")
-    if not os.path.isdir(blocks_root):
-        return
-    for d in os.listdir(blocks_root):
-        if d.endswith(".old"):
-            final = os.path.join(blocks_root, d[:-4])
-            if os.path.isdir(final):
-                shutil.rmtree(os.path.join(blocks_root, d))
-            else:
-                os.rename(os.path.join(blocks_root, d), final)
+    # per-partition swap leftovers (blocks/bucket=NN.old, docs/dbucket=NN.old)
+    for sub in ("blocks", "docs"):
+        sub_root = os.path.join(root, sub)
+        if not os.path.isdir(sub_root):
+            continue
+        for d in os.listdir(sub_root):
+            if d.endswith(".old"):
+                final = os.path.join(sub_root, d[:-4])
+                if os.path.isdir(final):
+                    shutil.rmtree(os.path.join(sub_root, d))
+                else:
+                    os.rename(os.path.join(sub_root, d), final)
 
 
 def _swap_dir(final: str, tmp_src: str | None) -> None:
@@ -548,6 +553,49 @@ def _swap_dir(final: str, tmp_src: str | None) -> None:
     else:
         os.makedirs(final, exist_ok=True)
     shutil.rmtree(old, ignore_errors=True)
+
+
+def _fold_txn_path(root: str) -> str:
+    return f"{root}/_fold_txn.json"
+
+
+def _read_fold_txn(root: str) -> set[int] | str | None:
+    """Touched-bucket set of a fold that started but never finished (the
+    journal is written before the first swap, removed after the folded
+    markers land). None when no fold is in flight; the string
+    ``"unknown"`` when a journal exists but is unreadable — the touched
+    set of the crashed attempt is then unknown and the caller MUST fall
+    back to a FULL side-table recompute (an empty/partial set would
+    leave the crashed attempt's buckets stale in tstats)."""
+    import json
+    import os
+
+    p = _fold_txn_path(root)
+    if not os.path.exists(p):
+        return None
+    try:
+        with open(p) as fh:
+            return {int(b) for b in json.load(fh)["touched"]}
+    except (OSError, ValueError, KeyError, TypeError):
+        return "unknown"
+
+
+def _write_fold_txn(root: str, touched: list[int], pending: list[str]) -> None:
+    import json
+    import os
+
+    p = _fold_txn_path(root)
+    with open(p + ".tmp", "w") as fh:
+        json.dump({"touched": sorted(touched), "pending": pending}, fh)
+    os.replace(p + ".tmp", p)
+
+
+def _clear_fold_txn(root: str) -> None:
+    import contextlib
+    import os
+
+    with contextlib.suppress(OSError):
+        os.remove(_fold_txn_path(root))
 
 
 def compact_into_index(
@@ -620,9 +668,17 @@ def compact_into_index(
             "index_stream(url_cols=...)) or rebuild the index."
         )
     _recover_index_compaction(root)
+    # fold journal of a PREVIOUS attempt that crashed mid-fold: its
+    # touched buckets may already be swapped, so this run's side-table
+    # refresh must cover them too (set), or everything ("unknown").
+    prev_touched = _read_fold_txn(root)
     committed = committed_commits(store_dir)
     pending = sorted(set(committed) - folded_commits(store_dir))
     if not pending:
+        # a journal here is a leftover from a crash between the folded
+        # markers and the journal removal — the fold itself completed
+        # (side tables refresh BEFORE the markers land)
+        _clear_fold_txn(root)
         return {"status": "noop", "touched_buckets": [], "n_new_docs": 0,
                 "n_retired": 0, "folded": []}
 
@@ -711,12 +767,30 @@ def compact_into_index(
         # and the two cases are not cheaply distinguishable — so this
         # branch ALWAYS refreshes the side tables before marking folded
         # (idempotent: recomputing from committed blocks + docs is a
-        # no-op when they were already consistent).
-        _refresh_index_side_tables(spark, root, meta, enc_avgdl)
+        # no-op when they were already consistent). The crashed attempt's
+        # journal bounds the refresh to ITS touched buckets; no journal
+        # (pre-journal crash, or a genuinely empty fold set) → full.
+        _refresh_index_side_tables(
+            spark, root, meta, enc_avgdl,
+            touched=prev_touched if isinstance(prev_touched, set) else None,
+        )
         _mark_folded(store_dir, pending)
+        _clear_fold_txn(root)
         retired.unpersist()
         return {"status": "folded_empty", "touched_buckets": [],
                 "n_new_docs": 0, "n_retired": 0, "folded": pending}
+
+    # fold journal, written BEFORE the first swap: a crash-replay must
+    # refresh the side tables over every bucket ANY attempt may have
+    # swapped, so a replay unions its own touched set with the crashed
+    # attempt's. An unreadable journal means that set is unknown →
+    # touched_all None → full side-table recompute (and the corrupt
+    # journal is left in place so a further crash keeps forcing full).
+    if prev_touched == "unknown":
+        touched_all = None
+    else:
+        touched_all = sorted(set(touched_l) | (prev_touched or set()))
+        _write_fold_txn(root, touched_all, pending)
 
     # rebuild touched buckets: decoded survivors ∪ enriched new postings
     # (touched_l can be empty with n_new > 0 when every folded doc is
@@ -778,8 +852,7 @@ def compact_into_index(
         shutil.rmtree(tmp, ignore_errors=True)
 
     # docs side table: retire superseded rows, add the folded docs (doclen
-    # 0 for token-less docs); rewrite via tmp + swap (can't overwrite a
-    # table being read)
+    # 0 for token-less docs)
     folded_docs = new_docs.join(new_dl, "doc_id", "left").withColumn(
         "doclen", F.coalesce(F.col("doclen"), F.lit(0)).cast("int")
     )
@@ -791,16 +864,57 @@ def compact_into_index(
             folded_docs = folded_docs.withColumn(
                 c, F.lit(None).cast(docs_tbl.schema[c].dataType)
             )
-    docs_new = docs_tbl.join(retired, "doc_id", "left_anti").unionByName(
-        folded_docs.select("doc_id", *meta_cols, "doclen")
-    )
-    docs_tmp = os.path.join(root, "docs.tmp")
-    shutil.rmtree(docs_tmp, ignore_errors=True)
-    docs_new.write.parquet(docs_tmp)
-    _swap_dir(os.path.join(root, "docs"), docs_tmp)
+    n_db = meta.get("n_doc_buckets")
+    docs_root = os.path.join(root, "docs")
+    if n_db:
+        # dbucket-partitioned docs (sink layout): rewrite ONLY the
+        # buckets holding a new or retired doc — the docs update is
+        # delta-proportional like the blocks side, never a full rewrite
+        # of the corpus-sized metadata table. Only the ≤ n_doc_buckets
+        # distinct bucket values collect; ids stay distributed.
+        n_db = int(n_db)
+        dbx = F.pmod(F.col("doc_id"), F.lit(n_db)).cast("int")
+        touched_db = sorted(
+            int(r["db"])
+            for r in retired.select(dbx.alias("db"))
+            .unionByName(new_docs.select(dbx.alias("db")))
+            .distinct().collect()
+        )
+        if touched_db:
+            docs_raw = spark.read.parquet(docs_root)
+            sub_new = (
+                docs_raw.where(F.col("dbucket").isin(touched_db))
+                .drop("dbucket")
+                .join(retired, "doc_id", "left_anti")
+                .unionByName(folded_docs.select("doc_id", *meta_cols, "doclen"))
+                .withColumn("dbucket", dbx)
+            )
+            docs_tmp = os.path.join(root, "_compact_docs_tmp")
+            shutil.rmtree(docs_tmp, ignore_errors=True)
+            sub_new.repartition(len(touched_db), "dbucket").write.mode(
+                "overwrite"
+            ).partitionBy("dbucket").parquet(docs_tmp)
+            for db in touched_db:
+                src = os.path.join(docs_tmp, f"dbucket={db}")
+                _swap_dir(
+                    os.path.join(docs_root, f"dbucket={db}"),
+                    src if os.path.isdir(src) else None,
+                )
+            shutil.rmtree(docs_tmp, ignore_errors=True)
+    else:
+        # pre-dbucket index: full rewrite via tmp + swap (can't overwrite
+        # a table being read)
+        docs_new = docs_tbl.join(retired, "doc_id", "left_anti").unionByName(
+            folded_docs.select("doc_id", *meta_cols, "doclen")
+        )
+        docs_tmp = os.path.join(root, "docs.tmp")
+        shutil.rmtree(docs_tmp, ignore_errors=True)
+        docs_new.write.parquet(docs_tmp)
+        _swap_dir(docs_root, docs_tmp)
 
-    _refresh_index_side_tables(spark, root, meta, enc_avgdl)
+    _refresh_index_side_tables(spark, root, meta, enc_avgdl, touched=touched_all)
     _mark_folded(store_dir, pending)
+    _clear_fold_txn(root)
     retired.unpersist()
     return {
         "status": "compacted",
@@ -812,7 +926,11 @@ def compact_into_index(
 
 
 def _refresh_index_side_tables(
-    spark: SparkSession, root: str, meta: dict, enc_avgdl: float
+    spark: SparkSession,
+    root: str,
+    meta: dict,
+    enc_avgdl: float,
+    touched: set | list | None = None,
 ) -> None:
     """Rewrite the index's tstats + meta from current committed state —
     the build's own recipe (tstats from committed blocks, N/avgdl from
@@ -820,16 +938,66 @@ def _refresh_index_side_tables(
     :func:`compact_into_index` runs it on EVERY exit path before marking
     commits folded: a fold replayed after a crash anywhere between the
     bucket/docs swaps and the marker write re-derives consistent side
-    tables instead of trusting whatever the crash left behind."""
+    tables instead of trusting whatever the crash left behind.
+
+    ``touched`` bounds the tstats recompute (the 100 TB term: a fold must
+    never pay an index-sized side-table rebuild):
+
+    * a bucket set → delta-proportional refresh. A term lives entirely in
+      its crc32 bucket, so df can only have changed for terms hashing
+      into a swapped bucket: re-derive those from a partition-pruned scan
+      of ``blocks/bucket∈touched``, keep every other term's row from the
+      current tstats, and swap the union in (tmp + rename pair, repaired
+      by :func:`_recover_index_compaction` like the bucket/docs swaps).
+    * the empty set → no bucket was swapped; tstats is already exact and
+      is not rewritten (only meta's N/avgdl advance).
+    * ``None`` → the swapped-bucket set is unknown (corrupt fold journal,
+      or a pre-journal engine's crash) → full recompute from all blocks.
+
+    meta's N/avgdl always recompute from the docs table: one count +
+    one avg over the single ``doclen`` int column of the metadata-sized
+    table (Parquet-pruned — none of the wide metadata columns are read),
+    the price of staying idempotent under crash replays where a stored
+    running sum could be double-advanced."""
     import json
     import os
+    import shutil
 
     from ..sink import _scan_conf
 
+    tstats_dir = os.path.join(root, "tstats")
+    blocks_dir = os.path.join(root, "blocks")
     with _scan_conf(spark, str(128 << 20)):
-        spark.read.parquet(os.path.join(root, "blocks")).groupBy("term").agg(
-            F.sum("n").cast("long").alias("df")
-        ).write.mode("overwrite").parquet(os.path.join(root, "tstats"))
+        if touched is None:
+            spark.read.parquet(blocks_dir).groupBy("term").agg(
+                F.sum("n").cast("long").alias("df")
+            ).write.mode("overwrite").parquet(tstats_dir)
+        elif len(touched) > 0:
+            touched_l = sorted(int(b) for b in touched)
+            n_buckets = int(meta["n_buckets"])
+            fresh = (
+                spark.read.option("basePath", blocks_dir).parquet(blocks_dir)
+                .where(F.col("bucket").isin(touched_l))
+                .groupBy("term")
+                .agg(F.sum("n").cast("long").alias("df"))
+            )
+            kept = spark.read.parquet(tstats_dir).select("term", "df").where(
+                ~(F.crc32(F.encode(F.col("term"), "utf-8")) % n_buckets)
+                .cast("int")
+                .isin(touched_l)
+            )
+            tmp = tstats_dir + ".tmp"
+            shutil.rmtree(tmp, ignore_errors=True)
+            merged = kept.unionByName(fresh)
+            merged.write.parquet(tmp)
+            if not any(f.startswith("part-") for f in os.listdir(tmp)):
+                # an all-retired fold can empty the whole term space; an
+                # empty write leaves a data-less dir that bricks schema
+                # inference — force one schema-bearing part file
+                shutil.rmtree(tmp, ignore_errors=True)
+                merged.repartition(1).write.parquet(tmp)
+            _swap_dir(tstats_dir, tmp)
+        # else: touched == ∅ — no bucket swapped, tstats already exact
     row = spark.read.parquet(os.path.join(root, "docs")).agg(
         F.count("*").alias("n"), F.avg("doclen").alias("avgdl")
     ).collect()[0]

@@ -338,6 +338,269 @@ def test_compact_replay_after_docs_swap_crash(spark, tmp_path):
     assert compact_into_index(spark, sink, store)["status"] == "noop"
 
 
+def _dir_hashes(root, sub, prefix):
+    """sha256 of every data file per partition dir (``prefix=NN``)."""
+    out = {}
+    sroot = os.path.join(root, sub)
+    for d in sorted(os.listdir(sroot)):
+        if not d.startswith(prefix + "="):
+            continue
+        files = {}
+        for f in sorted(os.listdir(os.path.join(sroot, d))):
+            if f.startswith(".") or f.startswith("_"):
+                continue
+            with open(os.path.join(sroot, d, f), "rb") as fh:
+                files[f] = hashlib.sha256(fh.read()).hexdigest()
+        out[int(d.split("=")[1])] = files
+    return out
+
+
+def _stream_and_fold(spark, tmp_path, sink, rows, ck="ckpt"):
+    corpus_dir = str(tmp_path / f"in_{ck}")
+    store = str(tmp_path / f"store_{ck}")
+    os.makedirs(corpus_dir)
+    _mk(spark, rows).coalesce(1).write.mode("append").parquet(corpus_dir)
+    q = incremental_index_stream(spark, corpus_dir, store, str(tmp_path / ck))
+    assert q.awaitTermination(120)
+    return store, compact_into_index(spark, sink, store)
+
+
+def test_docs_dbucket_incremental_rewrite(spark, tmp_path):
+    """The docs metadata table is dbucket-partitioned and a fold rewrites
+    ONLY the dbuckets holding a new or retired doc (the round-4 closure of
+    the full-docs-rewrite O(index) fold term) — every other dbucket dir is
+    byte-identical. And tstats after the (journal-bounded) incremental
+    refresh exactly equals a full recompute from the committed blocks."""
+    batch = generate_corpus(spark, 60).unionByName(_mk(spark, _NARROW)).cache()
+    batch.count()
+    sink = IndexSink(str(tmp_path / "idx"), n_buckets=N_BUCKETS)
+    sink.build(batch, url_cols=None)
+    docs_root = os.path.join(sink.root, "docs")
+    assert any(d.startswith("dbucket=") for d in os.listdir(docs_root))
+    assert "dbucket" not in sink.docs(spark).columns  # logical view is clean
+    pre = _dir_hashes(sink.root, "docs", "dbucket")
+    n_db = sink.n_doc_buckets
+
+    pre_docs = spark.read.parquet(docs_root)
+    retired_db = {
+        int(r["dbucket"])
+        for r in pre_docs.where(
+            (F.col("repo") == "nrw") & F.col("path").isin("a.py", "b.py")
+        ).select("dbucket").collect()
+    }
+
+    _store, res = _stream_and_fold(spark, tmp_path, sink, _CHANGED_V2 + _NEW)
+    assert res["status"] == "compacted"
+    assert res["n_new_docs"] == 4 and res["n_retired"] == 2
+
+    post_docs = spark.read.parquet(docs_root)
+    new_db = {
+        int(r["dbucket"])
+        for r in post_docs.where(
+            (F.col("repo") == "nrw")
+            & (F.col("path").isin("d.py", "e.py") | (F.col("commit") == "c2"))
+        ).select("dbucket").collect()
+    }
+    post = _dir_hashes(sink.root, "docs", "dbucket")
+    changed = {db for db in pre if post.get(db) != pre[db]}
+    assert changed <= (retired_db | new_db), (
+        f"dbuckets {changed - (retired_db | new_db)} rewritten without a "
+        "new/retired doc — the fold is not delta-proportional on docs"
+    )
+    untouched = [db for db in pre if db not in (retired_db | new_db)]
+    assert len(untouched) >= n_db // 2  # the claim is actually exercised
+    for db in untouched:
+        assert post[db] == pre[db], f"untouched dbucket {db} changed"
+
+    # tstats (incremental refresh) ≡ full recompute from committed blocks
+    blocks, tstats, _d, _m = sink.read(spark)
+    full = {
+        (r["term"], r["df"])
+        for r in blocks.groupBy("term")
+        .agg(F.sum("n").cast("long").alias("df"))
+        .collect()
+    }
+    assert {(r["term"], r["df"]) for r in tstats.collect()} == full
+    batch.unpersist()
+
+
+def _poison_tstats_row(spark, root, term, df_val):
+    """Rewrite one term's df to a sentinel — a tracer for whether a
+    side-table refresh recomputed that term's bucket or kept it."""
+    import shutil
+
+    tdir = os.path.join(root, "tstats")
+    cur = spark.read.parquet(tdir)
+    poisoned = cur.withColumn(
+        "df",
+        F.when(F.col("term") == term, F.lit(df_val).cast("long")).otherwise(
+            F.col("df")
+        ),
+    )
+    tmp = tdir + ".poison"
+    poisoned.write.parquet(tmp)
+    shutil.rmtree(tdir)
+    os.rename(tmp, tdir)
+
+
+def test_fold_journal_bounds_replay_refresh(spark, tmp_path):
+    """Crash window: blocks + docs swapped, journal present, tstats/meta
+    pre-fold. The replay takes the folded_empty path and its side-table
+    refresh must be BOUNDED by the journal's touched set (delta cost),
+    while still converging df/N/avgdl to the rebuild values. The bound is
+    proven with a tracer: a poisoned df on an UNTOUCHED bucket's term
+    survives the replay (kept, not recomputed); touched buckets match the
+    rebuild exactly."""
+    import json
+    import shutil
+
+    from search_engine_spark.sink import term_bucket_py
+    from search_engine_spark.streaming.jobs import _read_fold_txn, _write_fold_txn
+
+    batch = generate_corpus(spark, 60).unionByName(_mk(spark, _NARROW)).cache()
+    batch.count()
+    sink = IndexSink(str(tmp_path / "idx"), n_buckets=N_BUCKETS)
+    sink.build(batch, url_cols=None)
+    tstats_dir = os.path.join(sink.root, "tstats")
+    tstats_backup = str(tmp_path / "tstats_pre")
+    shutil.copytree(tstats_dir, tstats_backup)
+    meta_backup = open(os.path.join(sink.root, "meta.json")).read()
+    pre_terms = [r["term"] for r in spark.read.parquet(tstats_dir).collect()]
+
+    store, res = _stream_and_fold(spark, tmp_path, sink, _CHANGED_V2 + _NEW)
+    assert res["status"] == "compacted"
+    touched = res["touched_buckets"]
+    assert _read_fold_txn(sink.root) is None  # clean fold clears the journal
+
+    # rewind to the crash point, with the journal the crash would leave
+    shutil.rmtree(tstats_dir)
+    shutil.copytree(tstats_backup, tstats_dir)
+    with open(os.path.join(sink.root, "meta.json"), "w") as fh:
+        fh.write(meta_backup)
+    shutil.rmtree(os.path.join(store, "_folded"))
+    _write_fold_txn(sink.root, touched, res["folded"])
+
+    tracer = next(
+        t for t in pre_terms if term_bucket_py(t, N_BUCKETS) not in touched
+    )
+    _poison_tstats_row(spark, sink.root, tracer, 424242)
+
+    res2 = compact_into_index(spark, sink, store)
+    assert res2["status"] == "folded_empty"
+    assert _read_fold_txn(sink.root) is None  # replay cleared it
+
+    got = {(r["term"], r["df"]) for r in spark.read.parquet(tstats_dir).collect()}
+    assert (tracer, 424242) in got, (
+        "tracer on an untouched bucket was recomputed — the replay refresh "
+        "is NOT bounded by the journal (O(index) fold cost regression)"
+    )
+    # every touched-bucket term matches a full recompute from blocks
+    blocks, _t, _d, meta = sink.read(spark)
+    full = {
+        (r["term"], r["df"])
+        for r in blocks.groupBy("term")
+        .agg(F.sum("n").cast("long").alias("df"))
+        .collect()
+    }
+    assert {(t, d) for (t, d) in got if term_bucket_py(t, N_BUCKETS) in touched} == {
+        (t, d) for (t, d) in full if term_bucket_py(t, N_BUCKETS) in touched
+    }
+    # N/avgdl advanced to post-fold truth despite the rewound meta
+    meta_now = json.load(open(os.path.join(sink.root, "meta.json")))
+    docs_now = spark.read.parquet(os.path.join(sink.root, "docs"))
+    row = docs_now.agg(F.count("*").alias("n"), F.avg("doclen").alias("a")).collect()[0]
+    assert meta_now["N"] == row["n"] and abs(meta_now["avgdl"] - row["a"]) < 1e-12
+    assert compact_into_index(spark, sink, store)["status"] == "noop"
+    batch.unpersist()
+
+
+def test_corrupt_fold_journal_forces_full_refresh(spark, tmp_path):
+    """An unreadable journal means the crashed attempt's touched set is
+    unknown — the replay must fall back to a FULL side-table recompute
+    (fail-wide): the tracer poison is scrubbed everywhere and tstats
+    equals the from-blocks truth exactly."""
+    import shutil
+
+    from search_engine_spark.streaming.jobs import _fold_txn_path, _read_fold_txn
+
+    batch = _mk(spark, _NARROW)
+    sink = IndexSink(str(tmp_path / "idx"), n_buckets=8)
+    sink.build(batch, url_cols=None)
+    tstats_dir = os.path.join(sink.root, "tstats")
+    meta_backup = open(os.path.join(sink.root, "meta.json")).read()
+    tstats_backup = str(tmp_path / "tstats_pre")
+    shutil.copytree(tstats_dir, tstats_backup)
+
+    store, res = _stream_and_fold(spark, tmp_path, sink, _CHANGED_V2 + _NEW)
+    assert res["status"] == "compacted"
+
+    shutil.rmtree(tstats_dir)
+    shutil.copytree(tstats_backup, tstats_dir)
+    with open(os.path.join(sink.root, "meta.json"), "w") as fh:
+        fh.write(meta_backup)
+    shutil.rmtree(os.path.join(store, "_folded"))
+    with open(_fold_txn_path(sink.root), "w") as fh:
+        fh.write("{not json")
+    _poison_tstats_row(spark, sink.root, "komodo", 424242)
+
+    res2 = compact_into_index(spark, sink, store)
+    assert res2["status"] == "folded_empty"
+    assert _read_fold_txn(sink.root) is None  # cleared after the full refresh
+
+    blocks, tstats, _d, _m = sink.read(spark)
+    full = {
+        (r["term"], r["df"])
+        for r in blocks.groupBy("term")
+        .agg(F.sum("n").cast("long").alias("df"))
+        .collect()
+    }
+    got = {(r["term"], r["df"]) for r in tstats.collect()}
+    assert got == full  # poison scrubbed, no stale rows
+    for qs in QUERIES:
+        assert _topk(spark, sink, qs)  # index still serves
+
+
+def test_predbucket_docs_layout_still_folds(spark, tmp_path):
+    """A pre-dbucket index (flat docs dir, no n_doc_buckets in meta —
+    built by an earlier engine) still folds via the full-rewrite branch
+    and converges to the rebuild."""
+    import json
+    import shutil
+
+    batch = _mk(spark, _NARROW)
+    sink = IndexSink(str(tmp_path / "idx"), n_buckets=8)
+    sink.build(batch, url_cols=None)
+
+    # devolve to the pre-upgrade layout
+    docs_root = os.path.join(sink.root, "docs")
+    flat = sink.docs(spark)
+    flat.write.parquet(docs_root + ".flat")
+    shutil.rmtree(docs_root)
+    os.rename(docs_root + ".flat", docs_root)
+    mp = os.path.join(sink.root, "meta.json")
+    meta = json.load(open(mp))
+    meta.pop("n_doc_buckets", None)
+    with open(mp, "w") as fh:
+        json.dump(meta, fh)
+
+    _store, res = _stream_and_fold(spark, tmp_path, sink, _CHANGED_V2 + _NEW)
+    assert res["status"] == "compacted"
+    assert res["n_new_docs"] == 4 and res["n_retired"] == 2
+
+    final = (
+        batch.join(
+            _mk(spark, _CHANGED_V2).select("repo", "path"),
+            ["repo", "path"],
+            "left_anti",
+        ).unionByName(_mk(spark, _CHANGED_V2 + _NEW))
+    )
+    sink2 = IndexSink(str(tmp_path / "idx2"), n_buckets=8)
+    sink2.build(final, url_cols=None)
+    assert _decoded_content(spark, sink) == _decoded_content(spark, sink2)
+    for qs in QUERIES:
+        assert _topk(spark, sink, qs) == _topk(spark, sink2, qs), qs
+
+
 def test_compact_store_gcs_folded_commits(spark, tmp_path):
     """After a fold, the store's postings/dstats rows for folded commits
     are dead bytes (served by the index, excluded by every read path) —
