@@ -1,0 +1,18 @@
+#!/bin/bash
+# Round-4 (late session) campaign: grow the two below-bar C=4 tmpfs pools
+# inside quiet host windows (the pools' deficits are contended-window
+# artifacts — see BENCH/c4_stage_analysis.md). Phase 1: 400k C=4 pairs
+# (pool med 0.776, 4 good pairs lift it over 0.8). Phase 2: 800k C=4
+# pairs (pool med 0.754, ~6 good pairs needed). Sequential, load-gated.
+set -u
+cd /root/repo
+export SPARK_GRAFT_LOCAL_DIR=/dev/shm/spark_graft_scaling
+P400=${1:-6}
+P800=${2:-7}
+echo "== phase 1: 400k C=4 x$P400 =="
+SPARK_GRAFT_EXECUTOR_CORES=4 SPARK_GRAFT_SCALING_NDOCS=400000 \
+  tools/quiet_campaign.sh "$P400" 1.0 600
+echo "== phase 2: 800k C=4 x$P800 =="
+SPARK_GRAFT_EXECUTOR_CORES=4 SPARK_GRAFT_SCALING_NDOCS=800000 \
+  tools/quiet_campaign.sh "$P800" 1.0 600
+echo ALL_DONE
