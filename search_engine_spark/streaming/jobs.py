@@ -614,7 +614,14 @@ def compact_into_index(
     guests.
 
     Scale shape (the 100 TB question): cost ∝ |touched buckets| ×
-    bucket size + |stream batch|, never corpus size. New-term buckets
+    bucket size + |stream batch|, never corpus size — including the
+    side tables: the docs metadata table is dbucket-partitioned and
+    only the dbuckets holding a new/retired doc are rewritten, and
+    tstats df is re-derived only for touched term buckets (bounded
+    under crash replays by the ``_fold_txn.json`` journal; the one
+    non-delta term left is meta's N/avgdl scalar scan over the docs
+    table's single doclen column — see _refresh_index_side_tables).
+    New-term buckets
     come straight from the new postings; retired-doc buckets need one
     doc-stream-only discovery pass (:func:`decode_block_doc_ids`) that
     projects ONLY term + doc_bytes — the tf/dl/uf/position streams,

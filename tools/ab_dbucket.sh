@@ -1,0 +1,40 @@
+#!/bin/bash
+# A/B attribution for the dbucket docs-layout change (724ecbd): run
+# bench.py at HEAD and at the pre-change commit back-to-back, repeatedly,
+# so both sides see the same co-tenant host window. The change adds one
+# 16-partition exchange of metadata-sized rows to the timed build's docs
+# write; this pool shows whether that is measurable at local[32]/sf0.1.
+set -u
+cd /root/repo
+PREV=${PREV_COMMIT:-aa67ebd}
+PAIRS=${1:-4}
+OUT=BENCH/r04_dbucket_ab_pool.jsonl
+if [ ! -d .abprev ]; then
+  git worktree add --detach .abprev "$PREV" >/dev/null
+fi
+for i in $(seq 1 "$PAIRS"); do
+  for side in head prev; do
+    L=$(cut -d' ' -f1 /proc/loadavg)
+    if [ "$side" = head ]; then
+      J=$(SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 SPARK_GRAFT_SKIP_REF25=1 timeout 900 python bench.py 2>/dev/null | tail -1)
+    else
+      J=$(cd .abprev && SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 SPARK_GRAFT_SKIP_REF25=1 timeout 900 python bench.py 2>/dev/null | tail -1)
+    fi
+    python3 - "$side" "$L" <<PYEOF >> "$OUT"
+import json, sys
+side, load = sys.argv[1], float(sys.argv[2])
+line = '''$J'''
+r = json.loads(line)
+print(json.dumps({"side": side, "pair": $i, "load0_pre": load,
+                  "files_per_sec": r["files_per_sec"],
+                  "doc_stats": r["phases"]["doc_stats"],
+                  "steal_pct": r.get("steal_pct")}))
+PYEOF
+    if [ $? -ne 0 ]; then
+      echo "pair $i $side FAILED; not recorded"
+    else
+      echo "pair $i $side done load_pre=$L"
+    fi
+  done
+done
+echo AB_DONE
