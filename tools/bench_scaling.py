@@ -83,6 +83,9 @@ def run_level(level: int, sf_dir: str, runs: int = 1, local: bool = False) -> di
             # serial sweep would add ~10 min of ungraded wall per pair
             # at the 2-core N level
             SPARK_GRAFT_SKIP_REF25="1",
+            # this loop already best-ofs WHOLE invocations per level;
+            # an inner best-of-builds would multiply the N-level wall
+            SPARK_GRAFT_BUILD_RUNS="1",
         )
         # Always event-log scaling runs (per-stage wall + task CPU for
         # tools/compare_eventlogs.py — the residual decomposition in

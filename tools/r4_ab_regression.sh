@@ -16,7 +16,7 @@ for i in $(seq 1 "$PAIRS"); do
   for side in head r2; do
     L=$(cut -d' ' -f1 /proc/loadavg)
     if [ "$side" = head ]; then
-      J=$(SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 SPARK_GRAFT_SKIP_REF25=1 timeout 900 python bench.py 2>/dev/null | tail -1)
+      J=$(SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 SPARK_GRAFT_SKIP_REF25=1 SPARK_GRAFT_BUILD_RUNS=1 timeout 900 python bench.py 2>/dev/null | tail -1)
     else
       J=$(cd .r2bench && SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 timeout 900 python bench.py 2>/dev/null | tail -1)
     fi
