@@ -1,0 +1,112 @@
+"""Attribute driver-serial gaps in a Spark event log to code sites.
+
+A "gap" is wall time covered by NO running stage (the Amdahl fixed term
+in BENCH/c4_stage_analysis.md). This tool lists every gap window longer
+than --min-ms together with the job/stage that PRECEDES and FOLLOWS it
+(callsite + description), so each gap can be pinned to a specific
+driver-side section of IndexSink._build_inner / bench.py — the
+prerequisite for shrinking the 18 s constant term instead of guessing.
+
+Usage: python tools/gap_attribution.py <eventlog-file-or-dir> [--min-ms=200]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+from analyze_eventlog import _iter_eventlog_lines
+
+
+def main() -> None:
+    path = sys.argv[1]
+    min_ms = 200
+    for a in sys.argv[2:]:
+        if a.startswith("--min-ms="):
+            min_ms = int(a.split("=")[1])
+
+    # collect stage intervals + job metadata
+    stages = []  # (submit_ms, complete_ms, stage_id, name)
+    jobs = {}  # job_id -> {submit, end, callsite, stages}
+    stage_to_job = {}
+    app_start = app_end = None
+    for line in _iter_eventlog_lines(path):
+        try:
+            e = json.loads(line)
+        except json.JSONDecodeError:
+            continue
+        ev = e.get("Event")
+        if ev == "SparkListenerApplicationStart":
+            app_start = e["Timestamp"]
+        elif ev == "SparkListenerApplicationEnd":
+            app_end = e["Timestamp"]
+        elif ev == "SparkListenerJobStart":
+            props = e.get("Properties") or {}
+            jobs[e["Job ID"]] = {
+                "submit": e["Submission Time"],
+                "end": None,
+                "callsite": props.get("callSite.short", ""),
+                "desc": props.get("spark.job.description", ""),
+            }
+            for sid in e.get("Stage IDs", []):
+                stage_to_job[sid] = e["Job ID"]
+        elif ev == "SparkListenerJobEnd":
+            if e["Job ID"] in jobs:
+                jobs[e["Job ID"]]["end"] = e["Completion Time"]
+        elif ev == "SparkListenerStageCompleted":
+            si = e["Stage Info"]
+            sub = si.get("Submission Time")
+            comp = si.get("Completion Time")
+            if sub and comp:
+                stages.append((sub, comp, si["Stage ID"], si.get("Stage Name", "")))
+
+    stages.sort()
+    if app_start is None:
+        raise SystemExit("no ApplicationStart event")
+    if app_end is None:
+        app_end = max(c for _s, c, *_ in stages)
+
+    # merge stage intervals; gaps = complement within [app_start, app_end]
+    merged = []
+    for s, c, sid, name in stages:
+        if merged and s <= merged[-1][1]:
+            merged[-1][1] = max(merged[-1][1], c)
+            merged[-1][2].append((sid, name))
+        else:
+            merged.append([s, c, [(sid, name)]])
+
+    def job_of(sid):
+        j = stage_to_job.get(sid)
+        if j is None or j not in jobs:
+            return "?"
+        jj = jobs[j]
+        return f"job{j} [{jj['callsite']}] {jj['desc'][:60]}"
+
+    gaps = []
+    prev_end = app_start
+    prev_ctx = "app start"
+    for s, c, sids in merged:
+        g = s - prev_end
+        if g >= min_ms:
+            gaps.append((g, prev_end, prev_ctx, job_of(sids[0][0])))
+        prev_end = c
+        prev_ctx = job_of(sids[-1][0])
+    if app_end - prev_end >= min_ms:
+        gaps.append((app_end - prev_end, prev_end, prev_ctx, "app end"))
+
+    total_wall = app_end - app_start
+    total_gap = sum(g for g, *_ in gaps)
+    covered = sum(c - s for s, c, _ in merged)
+    print(f"wall={total_wall / 1000:.1f}s stage-covered={covered / 1000:.1f}s "
+          f"gaps>={min_ms}ms: {len(gaps)} totalling {total_gap / 1000:.1f}s "
+          f"(all-gap incl. small = {(total_wall - covered) / 1000:.1f}s)")
+    print()
+    for g, at, before, after in sorted(gaps, reverse=True):
+        t_rel = (at - app_start) / 1000
+        print(f"{g / 1000:7.2f}s at +{t_rel:7.1f}s  after: {before}")
+        print(f"{'':18}before: {after}")
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, "tools")
+    main()
