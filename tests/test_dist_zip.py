@@ -1,0 +1,50 @@
+"""dist/engine.zip (the spark-submit --py-files artifact) must match the
+package sources byte-for-byte. The zip went stale once during round 4 —
+an engine change shipped while the artifact still carried the previous
+sources — and nothing failed until a human diffed it. This gate makes
+staleness a red test: regenerate with `python tools/make_pyfiles.py`
+after any search_engine_spark/ change.
+
+No Spark session: pure filesystem + zipfile comparison.
+"""
+
+from __future__ import annotations
+
+import os
+import zipfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ZIP_PATH = os.path.join(REPO, "dist", "engine.zip")
+PKG = os.path.join(REPO, "search_engine_spark")
+
+
+def _source_files() -> dict[str, bytes]:
+    out = {}
+    for root, _dirs, files in os.walk(PKG):
+        if "__pycache__" in root:
+            continue
+        for f in files:
+            if f.endswith(".py"):
+                full = os.path.join(root, f)
+                out[os.path.relpath(full, REPO)] = open(full, "rb").read()
+    return out
+
+
+def test_engine_zip_matches_package_sources():
+    assert os.path.exists(ZIP_PATH), (
+        "dist/engine.zip missing — run `python tools/make_pyfiles.py`"
+    )
+    src = _source_files()
+    with zipfile.ZipFile(ZIP_PATH) as z:
+        members = {n: z.read(n) for n in z.namelist() if n.endswith(".py")}
+    missing = sorted(set(src) - set(members))
+    extra = sorted(set(members) - set(src))
+    assert not missing and not extra, (
+        f"engine.zip out of sync: missing={missing} extra={extra} — "
+        "run `python tools/make_pyfiles.py`"
+    )
+    stale = sorted(n for n in src if src[n] != members[n])
+    assert not stale, (
+        f"engine.zip carries stale copies of {stale} — "
+        "run `python tools/make_pyfiles.py`"
+    )
