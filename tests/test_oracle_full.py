@@ -1,0 +1,44 @@
+"""Cumulative correctness gate: EVERY oracle-backed registry entry, every
+pytest run.
+
+The driver's per-round CORRECTNESS_r{N}.json covers only the first 50
+``__spark_entry__.queries()`` entries; the registry has grown past that, so
+the prefix is rotated each round and a regression in a rotated-out entry
+would otherwise pass the merge gate silently (round-3 advisor, medium).
+This test closes that hole structurally: it runs the full registry against
+the DuckDB oracles at sf0.001 (small enough to keep the suite fast, same
+comparator as the driver: row count + column names + order-insensitive
+value hash). No-oracle entries (probabilistic LSH/ANN/k-means) are asserted
+non-empty here and recall-gated by their dedicated tests in test_ops.py.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.mark.skipif(not os.path.isdir(SF_DIR), reason=f"no testdata at {SF_DIR}")
+def test_full_registry_matches_oracles(spark):
+    from check_oracle import check_entries
+
+    import __spark_entry__ as E
+
+    results = check_entries(spark, SF_DIR, out=lambda *_: None)
+
+    # Completeness of the gate itself: every registry entry ran.
+    assert {r["name"] for r in results} == set(E.queries().keys())
+
+    failures = [r for r in results if r["status"] == "FAIL"]
+    assert not failures, f"oracle mismatches: {failures}"
+
+    # Probabilistic no-oracle entries still must produce rows (their
+    # quality floors live in test_ops.py recall gates).
+    empty = [r for r in results if r["status"] == "NO_ORACLE" and r["spark_rows"] == 0]
+    assert not empty, f"no-oracle entries returned zero rows: {empty}"
