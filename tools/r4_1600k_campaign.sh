@@ -1,0 +1,39 @@
+#!/bin/bash
+# Round-4 extension: 1.6M-doc (4x the per-round bench corpus, 2x the 800k
+# pool) C=2 tmpfs scaling pool — evidence that the N->4N efficiency holds
+# as DATA grows, not just at one corpus size. Same protocol as
+# tools/r4_800k_campaign.sh: each invocation = one PAIRED (N=1x2, 4N=4x2
+# executors) measurement appended to BENCH/history.jsonl, report
+# regenerated each time. Load-gated like tools/quiet_campaign.sh: start a
+# pair only inside a quiet window (avoids our own leftover work and
+# visible co-tenants; contended pairs that slip through still enter the
+# pool honestly — history is append-only).
+#
+# Usage: tools/r4_1600k_campaign.sh [N_PAIRS] [MAX_LOAD] [MAX_WAIT_S]
+set -u
+cd "$(dirname "$0")/.."
+N_PAIRS=${1:-6}
+MAX_LOAD=${2:-1.0}
+MAX_WAIT=${3:-1800}
+export SPARK_GRAFT_EXECUTOR_CORES=2
+export SPARK_GRAFT_SCALING_NDOCS=1600000
+export SPARK_GRAFT_LOCAL_DIR=/dev/shm/spark_graft_scaling
+for i in $(seq 1 "$N_PAIRS"); do
+  waited=0
+  while :; do
+    load=$(cut -d' ' -f1 /proc/loadavg)
+    ok=$(awk -v l="$load" -v m="$MAX_LOAD" 'BEGIN{print (l<=m)?1:0}')
+    [ "$ok" = 1 ] && break
+    if [ "$waited" -ge "$MAX_WAIT" ]; then
+      echo "=== pair $i: no quiet window within ${MAX_WAIT}s (load=$load) — running anyway"
+      break
+    fi
+    sleep 30
+    waited=$((waited + 30))
+  done
+  echo "=== pair $i/$N_PAIRS $(date -u +%H:%M:%S) load=$(cut -d' ' -f1 /proc/loadavg) (waited ${waited}s)"
+  # ~2100 s at N + ~650 s at 4N on a quiet host; timeout well past that
+  # so a contended pair finishes honestly rather than truncating.
+  timeout 7200 python tools/bench_scaling.py /root/testdata/sf0.1 2>&1 | tail -1
+done
+echo CAMPAIGN_DONE
