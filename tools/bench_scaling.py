@@ -282,6 +282,45 @@ def main() -> None:
         "|---|---|---|---|---|---|---|\n" + "\n".join(pool_rows) + "\n\n"
     )
 
+    # Data-axis scaling: within the CURRENT protocol (engine, cores/exec,
+    # scratch), one row per corpus size. files/sec at fixed parallelism
+    # staying flat as the corpus doubles means build wall grows LINEARLY
+    # with data — the second axis (alongside N→4N executors) that the
+    # 100 TB target requires: more data costs proportionally more
+    # executor-hours, never super-linearly.
+    data_rows = []
+    with open(hist_path) as f:
+        by_nd: dict[int, list] = {}
+        for line in f:
+            e = json.loads(line)
+            if (
+                e.get("engine") == ENGINE_VERSION
+                and e.get("exec_cores") == (None if local else EXEC_CORES)
+                and e.get("scratch") == key["scratch"]
+                and e.get("local", False) == local
+            ):
+                by_nd.setdefault(e["n_docs"], []).append(e)
+    for nd in sorted(by_nd):
+        es = by_nd[nd]
+        lo_f = med([x["lo"]["files_per_sec"] for x in es])
+        hi_f = med([x["hi"]["files_per_sec"] for x in es])
+        data_rows.append(
+            f"| {nd} | {len(es)} | {lo_f:.1f} | {hi_f:.1f} "
+            f"| {(hi_f / lo_f) / (LEVELS[1] / LEVELS[0]):.3f} |"
+        )
+    data_section = ""
+    if len(data_rows) > 1:
+        data_section = (
+            "## Data-axis scaling (same protocol, growing corpus)\n\n"
+            "Same engine / cores-per-executor / scratch topology as the headline;\n"
+            "only the corpus size changes. Per-level median throughput staying\n"
+            "~flat while the corpus doubles = build wall linear in data size at\n"
+            "fixed resources; together with the N→4N pools this is the two-axis\n"
+            "(more data × more executors) evidence the 100 TB sizing rests on.\n\n"
+            "| n_docs | n pairs | median N files/sec | median 4N files/sec | N→4N eff |\n"
+            "|---|---|---|---|---|\n" + "\n".join(data_rows) + "\n\n"
+        )
+
     # stage-level C=4 analysis (round-3 judge item): maintained separately
     # in BENCH/c4_stage_analysis.md from event-logged instrumented pairs;
     # included verbatim so regenerating this file never loses it
@@ -368,7 +407,7 @@ capability at each level).
 |---|---|---|
 {q_rows}
 
-{pools_section}{c4_section}{hw_section}Recorded {datetime.datetime.now(datetime.timezone.utc).isoformat(timespec="seconds")} on the 32-core sandbox host.
+{pools_section}{data_section}{c4_section}{hw_section}Recorded {datetime.datetime.now(datetime.timezone.utc).isoformat(timespec="seconds")} on the 32-core sandbox host.
 Headline = ratio of per-level median throughputs across {n_hist}
 recorded invocation(s) × {runs} run(s)/level (full measurement history:
 BENCH/history.jsonl; host 1-min load average before this invocation:
