@@ -976,9 +976,17 @@ def _refresh_index_side_tables(
     blocks_dir = os.path.join(root, "blocks")
     with _scan_conf(spark, str(128 << 20)):
         if touched is None:
+            # write-to-tmp + _swap_dir, same as the partial branch: a
+            # bare mode('overwrite') deletes the live dir first, so a
+            # crash mid-write would leave tstats missing/partial on the
+            # corrupt-journal replay route; _recover_index_compaction
+            # already repairs interrupted tstats.old/tstats.tmp swaps
+            tmp = tstats_dir + ".tmp"
+            shutil.rmtree(tmp, ignore_errors=True)
             spark.read.parquet(blocks_dir).groupBy("term").agg(
                 F.sum("n").cast("long").alias("df")
-            ).write.mode("overwrite").parquet(tstats_dir)
+            ).write.parquet(tmp)
+            _swap_dir(tstats_dir, tmp)
         elif len(touched) > 0:
             touched_l = sorted(int(b) for b in touched)
             n_buckets = int(meta["n_buckets"])

@@ -20,16 +20,17 @@ for i in $(seq 1 "$PAIRS"); do
     else
       J=$(cd .abprev && SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 SPARK_GRAFT_SKIP_REF25=1 SPARK_GRAFT_BUILD_RUNS=1 timeout 900 python bench.py 2>/dev/null | tail -1)
     fi
-    python3 - "$side" "$L" <<PYEOF >> "$OUT"
+    # JSON travels via stdin (ADVICE r4): embedding $J in python source
+    # breaks on empty output (timeout/failure), quotes, or backslashes
+    printf '%s' "$J" | python3 -c '
 import json, sys
-side, load = sys.argv[1], float(sys.argv[2])
-line = '''$J'''
-r = json.loads(line)
-print(json.dumps({"side": side, "pair": $i, "load0_pre": load,
+side, load, pair = sys.argv[1], float(sys.argv[2]), int(sys.argv[3])
+r = json.load(sys.stdin)
+print(json.dumps({"side": side, "pair": pair, "load0_pre": load,
                   "files_per_sec": r["files_per_sec"],
                   "doc_stats": r["phases"]["doc_stats"],
                   "steal_pct": r.get("steal_pct")}))
-PYEOF
+' "$side" "$L" "$i" >> "$OUT"
     if [ $? -ne 0 ]; then
       echo "pair $i $side FAILED; not recorded"
     else

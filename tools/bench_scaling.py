@@ -84,8 +84,11 @@ def run_level(level: int, sf_dir: str, runs: int = 1, local: bool = False) -> di
             # at the 2-core N level
             SPARK_GRAFT_SKIP_REF25="1",
             # this loop already best-ofs WHOLE invocations per level;
-            # an inner best-of-builds would multiply the N-level wall
+            # an inner best-of-builds/queries would multiply the N-level
+            # wall (scaling grades files_per_sec, so query methodology
+            # doesn't enter the pool either way)
             SPARK_GRAFT_BUILD_RUNS="1",
+            SPARK_GRAFT_QUERY_RUNS="1",
         )
         # Always event-log scaling runs (per-stage wall + task CPU for
         # tools/compare_eventlogs.py — the residual decomposition in

@@ -34,6 +34,13 @@ for i in $(seq 1 "$N_PAIRS"); do
   echo "=== pair $i/$N_PAIRS $(date -u +%H:%M:%S) load=$(cut -d' ' -f1 /proc/loadavg) (waited ${waited}s)"
   # ~2100 s at N + ~650 s at 4N on a quiet host; timeout well past that
   # so a contended pair finishes honestly rather than truncating.
-  timeout 7200 python tools/bench_scaling.py /root/testdata/sf0.1 2>&1 | tail -1
+  # Full output kept per pair (round-4's pair 5 failed with nothing but
+  # an empty tail -1 line to diagnose from).
+  mkdir -p .campaign_logs
+  PLOG=".campaign_logs/1600k_pair_$(date -u +%H%M%S).log"
+  timeout 7200 python tools/bench_scaling.py /root/testdata/sf0.1 >"$PLOG" 2>&1
+  rc=$?
+  [ $rc -ne 0 ] && echo "pair $i FAILED rc=$rc — see $PLOG"
+  tail -1 "$PLOG"
 done
 echo CAMPAIGN_DONE
