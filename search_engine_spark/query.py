@@ -211,6 +211,18 @@ def blend_with_pagerank(
     )
 
 
+def _bm25_w_np(tfs: np.ndarray, ufs: np.ndarray, dls: np.ndarray, idf: float, avgdl: float, weight: float = 1.0) -> np.ndarray:
+    """CANONICAL BM25 float64 expression, numpy form — the ONE copy
+    shared by the block scorer and the phrase scorer. Must stay
+    token-identical to bm25_score_terms' Column expression and
+    oracle.py's Python form for bit-exact rank identity across paths.
+    tf_eff carries the URL bonus (Search.java:98); uf=0 → tf + 0.0 == tf
+    bit-exactly, and weight=1.0 multiplies bit-exactly."""
+    k1, b = C.BM25_K1, C.BM25_B
+    tf_eff = tfs + C.URL_BONUS * ufs
+    return idf * (tf_eff * (k1 + 1.0)) / (tf_eff + k1 * (1.0 - b + b * dls / avgdl)) * weight
+
+
 def _score_shard_factory(
     idf_by_term: dict[str, float],
     weight: float,
@@ -236,8 +248,6 @@ def _score_shard_factory(
     are read-only; arithmetic is unchanged expression-for-expression, so
     per-query results stay bit-identical to the uncached path.
     """
-    k1, b = C.BM25_K1, C.BM25_B
-
     # NOTE: the applyInPandas-facing callable must stay SINGLE-argument —
     # PySpark dispatches on arity and would pass the group key as a first
     # positional arg to a two-parameter function. The cache-taking variant
@@ -306,14 +316,10 @@ def _score_shard_factory(
                     sel_ok = (sel < doc_set.size) & (doc_set[np.minimum(sel, doc_set.size - 1)] == dids)
                     if not sel_ok.any():
                         continue
-                    dls = f64("l", t, bid, dl_b)
-                    # tf_eff = tf + URL_BONUS·uf (Search.java:98); uf=0 →
-                    # tf + 0.0 == tf bit-exactly
-                    tfs = f64("t", t, bid, tf_b) + C.URL_BONUS * f64("u", t, bid, uf_b)
-                    # CANONICAL BM25 float64 expression — must match
-                    # bm25_topk_df and oracle.py token-for-token for
-                    # bit-exact rank identity:
-                    w = idf * (tfs * (k1 + 1.0)) / (tfs + k1 * (1.0 - b + b * dls / avgdl)) * weight
+                    w = _bm25_w_np(
+                        f64("t", t, bid, tf_b), f64("u", t, bid, uf_b),
+                        f64("l", t, bid, dl_b), idf, avgdl, weight,
+                    )
                     s[sel[sel_ok]] += w[sel_ok]
             return s
 
@@ -410,7 +416,8 @@ def _batch_shard_scorer(
         outs = []
         for i, qid in enumerate(order):
             res = scorers[qid].with_cache(pdf, cache)
-            peak = max(peak, sum(a.nbytes for a in cache.values()))
+            if stats is not None:  # O(|cache|) accounting: test path only
+                peak = max(peak, sum(a.nbytes for a in cache.values()))
             dead = {t for t in terms_by_qid[qid] if last_use[t] == i}
             if dead:
                 for key in [c for c in cache if c[1] in dead]:
@@ -543,6 +550,14 @@ def normalize_phrase(query: str, stem: bool = True) -> list[str]:
     return [porter_stem(t) for t in toks] if stem else toks
 
 
+# phrase occurrence key layout: candidate_rank << POS_BITS | pos.
+# Positions are 1-based over the tokenizer's survivor stream, bounded by
+# MAX_PAGE_LEN (10^4) truncation ≪ 2^20, so the pos field never carries
+# into the rank bits even after the +i phrase-offset shift.
+_POS_BITS = 20
+_POS_MASK = (1 << _POS_BITS) - 1
+
+
 def _phrase_empty_df(spark) -> DataFrame:
     return spark.createDataFrame(
         [], "doc_id long, n_occurrences long, first_pos long, score double"
@@ -560,15 +575,18 @@ def _phrase_shard_factory(terms_seq: list[str], idf_by_term: dict[str, float], a
        stronger than a WAND upper bound, and shards partition docs so a
        per-shard intersection is globally correct);
     2. position streams decoded ONLY for blocks holding ≥1 candidate →
-       adjacency verification: occurrence starts p with pos(t_i) ∋ p+i
-       for every i (survivor-space adjacency; repeated phrase terms work
-       because the check is per-offset set membership);
+       adjacency verification, vectorized across ALL candidates at once:
+       every occurrence becomes one int64 key (candidate_rank <<
+       POS_BITS | pos) — valid because positions are bounded by the
+       tokenizer's MAX_PAGE_LEN truncation (~10⁴) ≪ 2^POS_BITS — so the
+       whole shard's phrase check is one np.isin per phrase offset, with
+       NO per-doc Python loop (repeated phrase terms work because the
+       check is per-offset set membership on the same key set);
     3. tf/dl/uf streams decoded ONLY for those same blocks → exact BM25
        for the matched docs (canonical float64 expression, term-ascending
        accumulation — bit-identical to bm25_score_terms / the block
        scorer), weight 1.0.
     """
-    k1, b = C.BM25_K1, C.BM25_B
     uterms = sorted(set(terms_seq))
 
     def match_shard(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -593,10 +611,13 @@ def _phrase_shard_factory(terms_seq: list[str], idf_by_term: dict[str, float], a
             cand = docs_t if cand is None else np.intersect1d(cand, docs_t, assume_unique=True)
             if cand.size == 0:
                 return empty
-        # -- stage 2: positions ONLY for candidate-bearing blocks
-        pos_by_term: dict[str, dict[int, np.ndarray]] = {t: {} for t in uterms}
+        # -- stage 2: positions ONLY for candidate-bearing blocks,
+        # vectorized: (candidate_rank << POS_BITS | pos) occurrence keys
         touched: dict[str, list] = {t: [] for t in uterms}
+        keys_by_term: dict[str, np.ndarray] = {}
+        n_cand = cand.size
         for t in uterms:
+            parts = []
             for dids, r in blocks_by_term[t]:
                 sel = np.isin(dids, cand, assume_unique=True)
                 if not sel.any():
@@ -605,22 +626,46 @@ def _phrase_shard_factory(terms_seq: list[str], idf_by_term: dict[str, float], a
                 pos, plens = decode_positions(r.pos_bytes, r.plen_bytes)
                 starts = np.zeros(plens.size, dtype=np.int64)
                 np.cumsum(plens[:-1].astype(np.int64), out=starts[1:])
-                p64 = pos.astype(np.int64)
                 ln = plens.astype(np.int64)
-                for j in np.nonzero(sel)[0]:
-                    pos_by_term[t][int(dids[j])] = p64[starts[j] : starts[j] + ln[j]]
-        matches = []
-        for d in cand.tolist():
-            occ = pos_by_term[terms_seq[0]][d]
-            for i, t in enumerate(terms_seq[1:], start=1):
-                occ = occ[np.isin(occ + i, pos_by_term[t][d])]
-                if occ.size == 0:
-                    break
-            if occ.size:
-                matches.append((d, int(occ.size), int(occ.min())))
-        if not matches:
+                sel_idx = np.nonzero(sel)[0]
+                ls, os_ = ln[sel_idx], starts[sel_idx]
+                tot = int(ls.sum())
+                if tot == 0:
+                    continue
+                # multi-range gather of the selected docs' position slices
+                cum = np.cumsum(ls)
+                gidx = np.arange(tot, dtype=np.int64) + np.repeat(
+                    os_ - np.concatenate(([0], cum[:-1])), ls
+                )
+                p64 = pos.astype(np.int64)[gidx]
+                # tokenizer truncation bounds pos ≪ 2^POS_BITS; guard the
+                # packing invariant loudly rather than corrupting keys
+                # (headroom 64 ≥ any realistic phrase length, so pos+i
+                # can never carry into the rank bits)
+                if int(p64.max()) >= _POS_MASK - 64:
+                    raise ValueError(
+                        f"position {int(p64.max())} exceeds phrase key "
+                        f"capacity 2^{_POS_BITS}"
+                    )
+                ranks = np.searchsorted(cand, np.repeat(dids[sel_idx], ls))
+                parts.append((ranks << _POS_BITS) | p64)
+            keys_by_term[t] = (
+                np.concatenate(parts) if parts else np.empty(0, dtype=np.int64)
+            )
+        occ = keys_by_term[terms_seq[0]]
+        for i, _t in enumerate(terms_seq[1:], start=1):
+            if occ.size == 0:
+                break
+            occ = occ[np.isin(occ + i, keys_by_term[terms_seq[i]])]
+        if occ.size == 0:
             return empty
-        mdocs = np.array(sorted(m[0] for m in matches), dtype=np.int64)
+        occ_rank = (occ >> _POS_BITS).astype(np.int64)
+        occ_pos = occ & _POS_MASK
+        n_occ = np.bincount(occ_rank, minlength=n_cand)
+        first = np.full(n_cand, np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(first, occ_rank, occ_pos)
+        hit = n_occ > 0
+        mdocs = cand[hit]  # cand is sorted, so mdocs stays sorted
         # -- stage 3: exact BM25 for matched docs (term-ascending fold)
         s = np.zeros(mdocs.size)
         for t in uterms:
@@ -630,20 +675,18 @@ def _phrase_shard_factory(terms_seq: list[str], idf_by_term: dict[str, float], a
                 ok = (pos_in < mdocs.size) & (mdocs[np.minimum(pos_in, mdocs.size - 1)] == dids)
                 if not ok.any():
                     continue
-                tfs = varbyte_decode(r.tf_bytes).astype(np.float64)
-                dls = varbyte_decode(r.dl_bytes).astype(np.float64)
-                ufs = varbyte_decode(r.uf_bytes).astype(np.float64)
-                # CANONICAL BM25 float64 expression — token-for-token the
-                # same as bm25_score_terms / _score_shard_factory
-                tf_eff = tfs + C.URL_BONUS * ufs
-                w = idf * (tf_eff * (k1 + 1.0)) / (tf_eff + k1 * (1.0 - b + b * dls / avgdl))
+                w = _bm25_w_np(
+                    varbyte_decode(r.tf_bytes).astype(np.float64),
+                    varbyte_decode(r.uf_bytes).astype(np.float64),
+                    varbyte_decode(r.dl_bytes).astype(np.float64),
+                    idf, avgdl,
+                )
                 s[pos_in[ok]] += w[ok]
-        stats = {d: (n, fp) for d, n, fp in matches}
         out = pd.DataFrame(
             {
                 "doc_id": mdocs,
-                "n_occurrences": np.array([stats[int(d)][0] for d in mdocs], dtype=np.int64),
-                "first_pos": np.array([stats[int(d)][1] for d in mdocs], dtype=np.int64),
+                "n_occurrences": n_occ[hit].astype(np.int64),
+                "first_pos": first[hit].astype(np.int64),
                 "score": s,
             }
         )

@@ -983,9 +983,16 @@ def _refresh_index_side_tables(
             # already repairs interrupted tstats.old/tstats.tmp swaps
             tmp = tstats_dir + ".tmp"
             shutil.rmtree(tmp, ignore_errors=True)
-            spark.read.parquet(blocks_dir).groupBy("term").agg(
+            full = spark.read.parquet(blocks_dir).groupBy("term").agg(
                 F.sum("n").cast("long").alias("df")
-            ).write.parquet(tmp)
+            )
+            full.write.parquet(tmp)
+            if not any(f.startswith("part-") for f in os.listdir(tmp)):
+                # same empty-result guard as the partial branch below: an
+                # all-retired corpus yields zero rows and a data-less dir
+                # that bricks schema inference — force one part file
+                shutil.rmtree(tmp, ignore_errors=True)
+                full.repartition(1).write.parquet(tmp)
             _swap_dir(tstats_dir, tmp)
         elif len(touched) > 0:
             touched_l = sorted(int(b) for b in touched)

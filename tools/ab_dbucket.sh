@@ -16,9 +16,9 @@ for i in $(seq 1 "$PAIRS"); do
   for side in head prev; do
     L=$(cut -d' ' -f1 /proc/loadavg)
     if [ "$side" = head ]; then
-      J=$(SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 SPARK_GRAFT_SKIP_REF25=1 SPARK_GRAFT_BUILD_RUNS=1 timeout 900 python bench.py 2>/dev/null | tail -1)
+      J=$(SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 SPARK_GRAFT_SKIP_REF25=1 SPARK_GRAFT_BUILD_RUNS=1 SPARK_GRAFT_QUERY_RUNS=1 timeout 900 python bench.py 2>/dev/null | tail -1)
     else
-      J=$(cd .abprev && SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 SPARK_GRAFT_SKIP_REF25=1 SPARK_GRAFT_BUILD_RUNS=1 timeout 900 python bench.py 2>/dev/null | tail -1)
+      J=$(cd .abprev && SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 SPARK_GRAFT_SKIP_REF25=1 SPARK_GRAFT_BUILD_RUNS=1 SPARK_GRAFT_QUERY_RUNS=1 timeout 900 python bench.py 2>/dev/null | tail -1)
     fi
     # JSON travels via stdin (ADVICE r4): embedding $J in python source
     # breaks on empty output (timeout/failure), quotes, or backslashes
